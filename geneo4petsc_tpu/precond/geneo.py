@@ -1,0 +1,384 @@
+"""The GenEO preconditioner — TPU-native two-level Schwarz.
+
+Re-implements the full preconditioner family of src/geneo.cpp as a frozen
+pytree + pure functions:
+
+  level 1: ASM / RAS / SRAS / ORAS / SORAS    (applyLevel1, geneo.cpp:1962-2038)
+  level 2: 0 / GenEO-1 / GenEO-2, additive / hybrid (H) / efficient-hybrid (E)
+           (setUpLevel2 geneo.cpp:1544-1608, applyQ :1435-1542,
+            projectOnFineSpace :1902-1960, applyGenEOPC :2051-2098)
+
+Key TPU-native inversions versus the reference:
+  * one subdomain per MPI rank  ->  subdomain batch axis (vmapped kernels)
+  * MUMPS per-domain LU         ->  batched dense Cholesky/LU on the MXU
+  * SLEPc/ARPACK shift-invert   ->  batched dense generalized eigh
+  * VecScatter halo exchange    ->  gather / segment-sum scatter-add
+  * rank-0 offload of Z and E   ->  replication (every device holds the tiny
+    coarse factorization; -geneo_offload is accepted and is a no-op since
+    replication strictly dominates a master bottleneck on TPU)
+
+Setup is host-orchestrated (coarse-space sizes become static shapes —
+XLA needs them fixed before compile); apply is pure and jit/shard_map-able.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..assembly.assemble import SubdomainBatch, robin_blocks
+from ..config import GenEOOptions
+from ..ops import batched_linalg as bl
+
+
+@dataclass
+class GenEOStats:
+    """Per-domain setup statistics (reported via INFO lines,
+    src/geneo4PETSc.cpp:968-988)."""
+
+    estim_dim_e: np.ndarray   # [n_dom] Sylvester estimates
+    real_dim_e: np.ndarray    # [n_dom] actual coarse columns
+    nicolaides: np.ndarray    # [n_dom] constant vectors added
+    tau_loc: np.ndarray       # [n_dom] local tau (GenEO-2)
+    gamma_loc: np.ndarray     # [n_dom] local gamma (GenEO-2)
+    eigenvalues: list = field(default_factory=list)  # per-domain kept spectra
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["batch", "l1_factor", "pou", "z_loc", "colids",
+                      "e_evecs", "e_eig_inv", "x0"],
+         meta_fields=["lvl1", "lvl2", "hybrid", "eff_hybrid", "dim_e",
+                      "k_max"])
+@dataclass(frozen=True)
+class GenEOPreconditioner:
+    """Immutable setup product; ``apply`` is the hot per-iteration path."""
+
+    # --- static configuration ---
+    lvl1: str          # ASM | RAS | SRAS | ORAS | SORAS
+    lvl2: int          # 0 | 1 | 2
+    hybrid: bool
+    eff_hybrid: bool
+    dim_e: int         # total coarse-space dimension (0 if lvl2 == 0)
+    k_max: int         # max per-domain coarse columns (padded)
+    # --- data ---
+    batch: SubdomainBatch
+    l1_factor: jax.Array       # [d, n, n] Cholesky of Dirichlet/Robin blocks
+    pou: jax.Array | None      # [d, n] partition of unity (None if unused)
+    z_loc: jax.Array | None    # [d, n, k_max] D-weighted eigenvectors
+    colids: jax.Array | None   # [d, k_max] int32 global coarse column (pad=dim_e)
+    e_evecs: jax.Array | None    # [K, K] eigenvectors of E = Z^T A Z
+    e_eig_inv: jax.Array | None  # [K] truncated inverse eigenvalues of E
+    x0: jax.Array              # [n_dof] initial guess (Q b if eff-hybrid)
+
+    # ---------------- level 2: Q = Z E^-1 Z^T (applyQ) ----------------
+    def apply_q(self, x: jax.Array) -> jax.Array:
+        xl = self.batch.gather(x)                       # [d, n]
+        ztx = jnp.einsum("dnk,dn->dk", self.z_loc, xl,
+                         preferred_element_type=x.dtype)
+        w = jax.ops.segment_sum(ztx.ravel(), self.colids.ravel(),
+                                num_segments=self.dim_e + 1)[:-1]
+        # E^-1 via the replicated spectral factorization: exact inverse for
+        # nonsingular E; spectral pseudo-inverse (tiny eigenvalues truncated)
+        # when coarse columns are dependent — the well-posed equivalent of
+        # MUMPS null-pivot fixing (tuneSolver, geneo.cpp:76-92) used by the
+        # reference's dcs2_ solver on a rank-deficient E.
+        w = self.e_evecs @ (self.e_eig_inv * (self.e_evecs.T @ w))
+        wp = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+        wl = wp[self.colids]                            # [d, k_max]
+        yl = jnp.einsum("dnk,dk->dn", self.z_loc, wl,
+                        preferred_element_type=x.dtype)
+        return self.batch.scatter_add(yl)
+
+    # ---------------- level 1 (applyLevel1) ----------------
+    def _local_solve(self, x: jax.Array) -> jax.Array:
+        xl = self.batch.gather(x)
+        if self.lvl1 in ("RAS", "SRAS", "ORAS", "SORAS"):
+            xl = xl * self.pou                          # (1.29) of R1
+        xl = bl.cholesky_solve(self.l1_factor, xl)
+        if self.lvl1 in ("SRAS", "SORAS"):
+            xl = xl * self.pou
+        return self.batch.scatter_add(xl)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        """Full PC apply (applyGenEOPC): Y = Q X + L1(X) with optional
+        hybrid projections — (7.53) of R1."""
+        if self.lvl2 and not self.eff_hybrid:
+            y = self.apply_q(x)                         # 1st term of (7.53)
+        else:
+            y = jnp.zeros_like(x)
+        t = x
+        if self.hybrid and not self.eff_hybrid:
+            t = t - self.batch.matvec(y)                # (I - P^T) x, reusing QX
+        t = self._local_solve(t)
+        if self.hybrid:
+            t = t - self.apply_q(self.batch.matvec(t))  # (I - P) t
+        return y + t
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.apply(x)
+
+
+# ===================== setup (setUpGenEOPC equivalent) =====================
+
+def _dadird(batch: SubdomainBatch) -> jax.Array:
+    """D A_Dir D (buildCoarseSpaceWithGenEO, geneo.cpp:1243-1247)."""
+    d = batch.pou
+    return batch.a_dir * d[:, :, None] * d[:, None, :]
+
+
+def _with_pad_diag(a: jax.Array, mask: jax.Array, value: float) -> jax.Array:
+    """Replace the identity pad diagonal with `value` (steers the pencil
+    eigenvalues of pad slots out of the selection window)."""
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    pad = (~mask)[:, :, None] * (~mask)[:, None, :] * eye
+    return a - pad * 1.0 + pad * value
+
+
+def _tau_loc(mult: np.ndarray, mask: np.ndarray, tau: float, cst: bool
+             ) -> np.ndarray:
+    """Local adaptive tau (getLocalGenEOTau, geneo.cpp:1097-1118):
+    tauLoc = k * tau with k = max DOF multiplicity, clamped to 0.9."""
+    n_dom = mult.shape[0]
+    if cst:
+        return np.full(n_dom, tau)
+    k = np.where(mask, mult, 0).max(axis=1)
+    t = k * tau
+    t = np.where(t >= 1.0, 0.9, t)
+    return np.where(k > 0, t, tau)
+
+
+def _gamma_loc(intersections, n_dom: int, gamma: float, cst: bool
+               ) -> np.ndarray:
+    """Local adaptive gamma (getLocalGenEOGamma, geneo.cpp:1120-1232).
+
+    NOTE (behavioral parity): the reference builds the connectivity matrix
+    with C[p][q] = 1 when domains p and q do NOT intersect (and 0 when they
+    do) — the test at geneo.cpp:1139-1145 is inverted relative to its own
+    comment.  We reproduce the code's behavior, not the comment.
+    C has unit diagonal; F_p = 1/rowsum(C); M = C * F F^T;
+    gammaLoc_p = gamma / lambda_max(M) * F_p^2, clamped to 1.1 from below.
+    """
+    if cst:
+        return np.full(n_dom, gamma)
+    c = np.zeros((n_dom, n_dom))
+    for p in range(n_dom):
+        for q in range(n_dom):
+            if p == q:
+                c[p, q] = 1.0
+            else:
+                c[p, q] = 0.0 if len(intersections[p][q]) else 1.0
+    f = 1.0 / c.sum(axis=1)
+    m = c * f[:, None] * f[None, :]
+    lam = np.max(np.abs(np.linalg.eigvalsh(m)))
+    g = gamma / lam * f * f
+    return np.where(g <= 1.0, 1.1, g)
+
+
+def _select_columns(w: np.ndarray, kind: str, thr: np.ndarray,
+                    n_real: np.ndarray, no_syl: bool, cut: int):
+    """Per-domain eigenpair selection (eigenLocalProblem semantics).
+
+    w: [d, n] pencil spectrum ascending, pad eigenvalues already steered out
+    of the window.  Returns (keep_idx list per domain, estim per domain).
+
+    ARPACK computes nev pairs nearest the target (the nev smallest for the
+    shift-invert tau problem, the nev largest for the gamma problem) with
+    nev = Sylvester estimate (estimateNumberOfEigenValues) unless -geneo_no_syl
+    (then the EPS default nev = 1), capped by -geneo_cut; kept pairs are then
+    filtered to [0, tau] / [gamma, inf) (geneo.cpp:713-714).
+    """
+    n_dom, n = w.shape
+    keep, estim = [], np.zeros(n_dom, dtype=np.int64)
+    for p in range(n_dom):
+        if kind == "tau":
+            count = int(np.sum(w[p, :n_real[p]] < thr[p]))
+        else:
+            real = w[p]  # gamma: pads steered to tiny values at the bottom
+            count = int(np.sum(real[n - n_real[p]:] > thr[p])) \
+                if n_real[p] else 0
+        count = min(count, int(n_real[p]))
+        if cut > 0:
+            count = min(count, cut)
+        estim[p] = count
+        nev = count if not no_syl else min(1, int(n_real[p]))
+        if no_syl and cut > 0:
+            nev = min(nev, cut)
+        if kind == "tau":
+            cand = np.arange(nev)
+            sel = cand[w[p, cand] <= thr[p]] if nev else cand
+        else:
+            cand = np.arange(n - 1, n - 1 - nev, -1)
+            sel = cand[w[p, cand] >= thr[p]] if nev else cand
+        keep.append(sel.astype(np.int64))
+    return keep, estim
+
+
+def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
+                b: jax.Array | None = None,
+                decomp=None) -> tuple[GenEOPreconditioner, GenEOStats]:
+    """Full preconditioner setup (PCSetUp -> setUpGenEOPC path)."""
+    opts.validate()
+    dtype = batch.a_neu.dtype
+    n_dom = batch.n_dom
+    n_dof = batch.n_dof
+    mask_np = np.asarray(batch.mask)
+    mult_np = np.asarray(batch.mult)
+    n_real = mask_np.sum(axis=1).astype(np.int64)
+
+    # ----- level 1: factor Dirichlet (ASM..SRAS) or Robin (ORAS/SORAS) -----
+    if opts.lvl1_oras:
+        m_blocks = robin_blocks(batch, opts.optim)   # (14) of R4
+    else:
+        m_blocks = batch.a_dir                       # (1.30) of R1
+    l1_factor = bl.cholesky_factor(m_blocks)
+
+    need_pou = opts.lvl2_num > 0 or opts.lvl1_ras
+    pou = batch.pou if need_pou else None
+
+    stats = GenEOStats(
+        estim_dim_e=np.zeros(n_dom, np.int64),
+        real_dim_e=np.zeros(n_dom, np.int64),
+        nicolaides=np.zeros(n_dom, np.int64),
+        tau_loc=np.full(n_dom, -1.0), gamma_loc=np.full(n_dom, -1.0))
+
+    if opts.lvl2_num == 0:
+        pc = GenEOPreconditioner(
+            lvl1=opts.lvl1, lvl2=0, hybrid=False, eff_hybrid=False,
+            dim_e=0, k_max=0, batch=batch, l1_factor=l1_factor, pou=pou,
+            z_loc=None, colids=None, e_evecs=None, e_eig_inv=None,
+            x0=jnp.zeros(n_dof, dtype))
+        return pc, stats
+
+    # ----- level 2: batched local generalized eigenproblems -----
+    dadird = _dadird(batch)
+    cut = opts.cut
+    problems = []  # (kind, A, B, thr[n_dom])
+    if opts.lvl2_num == 1:
+        # GenEO-1: A_Neu v = lambda (D A_Dir D) v, threshold tau
+        # (Def 7.14 of R1; geneo.cpp:1270-1273)
+        problems.append(("tau", batch.a_neu, dadird,
+                         np.full(n_dom, opts.tau)))
+    else:
+        # GenEO-2 halves -geneo_cut between its two problems
+        # (geneo.cpp:1275)
+        if cut >= 2:
+            cut = cut // 2
+        a_rob = robin_blocks(batch, opts.optim)
+        tl = _tau_loc(mult_np, mask_np, opts.tau, opts.cst)
+        gl = _gamma_loc(decomp.intersections if decomp is not None else
+                        [[np.zeros(0)] * n_dom] * n_dom,
+                        n_dom, opts.gamma, opts.cst)
+        stats.tau_loc, stats.gamma_loc = tl, gl
+        # (19) of R4: A_Neu v = lambda A_Rob v, threshold tauLoc
+        problems.append(("tau", batch.a_neu, a_rob, tl))
+        # (21) of R4: (D A_Dir D) v = lambda A_Rob v, threshold gammaLoc
+        problems.append(("gamma", dadird, a_rob, gl))
+
+    eps64 = np.finfo(np.float64).eps
+    eps32 = np.finfo(np.float32).eps
+    cols: list[list[np.ndarray]] = [[] for _ in range(n_dom)]
+    evals: list[list[float]] = [[] for _ in range(n_dom)]
+
+    for kind, a_p, b_p, thr in problems:
+        steer = 1e6 if kind == "tau" else 1e-6
+        a_eff = _with_pad_diag(a_p, batch.mask, steer)
+        b_eff = b_p  # pad diag stays 1
+        w, v = bl.generalized_eigh(a_eff, b_eff)
+        w_np = np.asarray(w, np.float64)
+        v_np = np.asarray(v, np.float64)
+        keep, estim = _select_columns(w_np, kind, thr, n_real,
+                                      opts.no_syl, cut)
+        if not opts.no_syl:
+            stats.estim_dim_e += estim
+        a_np = np.asarray(a_p, np.float64)
+        b_np = np.asarray(b_p, np.float64)
+        for p in range(n_dom):
+            kept_w = w_np[p, keep[p]]
+            for i in keep[p]:
+                cols[p].append(v_np[p, :, i])
+                evals[p].append(float(w_np[p, i]))
+            if kind == "tau" and n_real[p] > 0:
+                # Nicolaides fallback: if no zero eigenvalue was kept, test
+                # the constant vector for near-kernel membership
+                # (geneo.cpp:897-955)
+                no_zero = len(kept_w) > 0 and kept_w.min() >= eps64
+                if no_zero:
+                    ones = mask_np[p].astype(np.float64)
+                    num = ones @ (a_np[p] @ ones)
+                    den = ones @ (b_np[p] @ ones)
+                    ratio = abs(num / den) if den != 0 else np.inf
+                    if ratio <= eps32:
+                        cols[p].append(ones)
+                        evals[p].append(0.0)
+                        stats.nicolaides[p] += 1
+
+    # Empty local coarse set is forbidden: add the constant vector
+    # (geneo.cpp:1303-1314).  Empty *domains* contribute no columns.
+    for p in range(n_dom):
+        if not cols[p] and n_real[p] > 0:
+            cols[p].append(mask_np[p].astype(np.float64))
+            evals[p].append(0.0)
+            stats.nicolaides[p] += 1
+        stats.real_dim_e[p] = len(cols[p])
+
+    counts = stats.real_dim_e
+    offsets = np.zeros(n_dom, np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    dim_e = int(counts.sum())
+    k_max = max(int(counts.max()), 1)
+
+    # D-weighted coarse basis Z ((7.49) of R1; fillZE2L geneo.cpp:249-286)
+    d_np = 1.0 / mult_np
+    z_np = np.zeros((n_dom, batch.n_max, k_max), dtype=np.float64)
+    colids_np = np.full((n_dom, k_max), dim_e, dtype=np.int32)
+    for p in range(n_dom):
+        for j, vec in enumerate(cols[p]):
+            z_np[p, :, j] = np.where(mask_np[p], d_np[p] * vec, 0.0)
+            colids_np[p, j] = offsets[p] + j
+    stats.eigenvalues = evals
+
+    z_loc = jnp.asarray(z_np, dtype)
+    colids = jnp.asarray(colids_np)
+
+    # Global coarse basis (createZE2G role) and E = Z^T A Z (createEEig,
+    # MatPtAP at geneo.cpp:1033): Zg assembled by scatter-add of the local
+    # D-weighted columns, E via K global matvecs through the unassembled
+    # blocks, then a replicated dense LU (the TPU-idiomatic inversion of
+    # rank-0 offload).
+    gids_np = np.asarray(batch.gids)
+    zg = np.zeros((n_dof, dim_e), dtype=np.float64)
+    for p in range(n_dom):
+        k = int(n_real[p])
+        if counts[p]:
+            zg[gids_np[p, :k], offsets[p]:offsets[p] + counts[p]] += \
+                z_np[p, :k, :counts[p]]
+    zg_j = jnp.asarray(zg, dtype)
+    az = jax.vmap(lambda col: SubdomainBatch.matvec(batch, col),
+                  in_axes=1, out_axes=1)(zg_j)
+    e = zg_j.T @ az
+    e = 0.5 * (e + e.T)
+    ew, ev = jnp.linalg.eigh(e)
+    tol = dim_e * jnp.finfo(dtype).eps * jnp.max(jnp.abs(ew))
+    e_eig_inv = jnp.where(ew > tol, 1.0 / jnp.where(ew > tol, ew, 1.0), 0.0)
+
+    pc = GenEOPreconditioner(
+        lvl1=opts.lvl1, lvl2=opts.lvl2_num, hybrid=opts.hybrid,
+        eff_hybrid=opts.eff_hybrid, dim_e=dim_e, k_max=k_max,
+        batch=batch, l1_factor=l1_factor, pou=pou, z_loc=z_loc,
+        colids=colids, e_evecs=ev, e_eig_inv=e_eig_inv,
+        x0=jnp.zeros(n_dof, dtype))
+
+    # Efficient-hybrid initial guess X0 = Q B (setUpLevel2,
+    # geneo.cpp:1601-1604); the caller must run the Krylov solver with
+    # nonzero initial guess (contract at hdr/geneo.hpp:21-23).
+    if opts.eff_hybrid and b is not None:
+        import dataclasses
+        pc = dataclasses.replace(pc, x0=pc.apply_q(b))
+    return pc, stats

@@ -1,0 +1,21 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64.
+
+Mirrors the reference test strategy (SURVEY.md §4): "distributed" is tested
+with local processes — here, a virtual 8-device CPU mesh
+(xla_force_host_platform_device_count), and PETSc's double precision is
+mirrored with jax x64.
+"""
+
+import os
+
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
