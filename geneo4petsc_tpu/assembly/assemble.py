@@ -47,10 +47,16 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["gids", "mask", "mult", "a_neu", "a_dir"],
-         meta_fields=["n_dof", "n_dom", "n_max"])
+         meta_fields=["n_dof", "n_dom", "n_max", "axis"])
 @dataclass(frozen=True)
 class SubdomainBatch:
-    """Batched padded per-subdomain data (the MatIS equivalent)."""
+    """Batched padded per-subdomain data (the MatIS equivalent).
+
+    ``axis``: when set, the domain axis is sharded over that mesh axis name
+    and the batch is being used inside shard_map — reductions to global
+    vectors add a psum over it (the ICI halo-exchange/assembly collective
+    replacing PETSc's VecScatter reverse-ADD, src/geneo.cpp:1871-1900).
+    """
 
     n_dof: int
     n_dom: int
@@ -60,6 +66,7 @@ class SubdomainBatch:
     mult: jax.Array   # [n_dom, n_max] dtype, pad = 1
     a_neu: jax.Array  # [n_dom, n_max, n_max] weighted local Neumann blocks
     a_dir: jax.Array  # [n_dom, n_max, n_max] Dirichlet blocks
+    axis: str | None = None
 
     @property
     def pou(self) -> jax.Array:
@@ -77,8 +84,11 @@ class SubdomainBatch:
         """Local copies [n_dom, n_max] -> global sum [n_dof]
         (VecScatter reverse/ADD, src/geneo.cpp:1871-1900)."""
         flat = jnp.where(self.mask, xl, 0).ravel()
-        return jax.ops.segment_sum(flat, self.gids.ravel(),
-                                   num_segments=self.n_dof + 1)[:-1]
+        y = jax.ops.segment_sum(flat, self.gids.ravel(),
+                                num_segments=self.n_dof + 1)[:-1]
+        if self.axis is not None:
+            y = jax.lax.psum(y, self.axis)
+        return y
 
     def matvec(self, x: jax.Array) -> jax.Array:
         """Global SpMV through the unassembled blocks (MatIS MatMult)."""
@@ -103,38 +113,69 @@ class AssembledProblem:
         return self.mesh.n_nodes
 
 
-def _local_triplets(mesh: ElementMesh, decomp: Decomposition, p: int):
-    """(li, lj, val, nnz) triplets of domain p's weighted Neumann block."""
+def _group_elems_by_size(mesh: ElementMesh):
+    """Group elements by DOF count into dense [ne_k, k] / [ne_k, k, k]
+    batches (vectorized assembly; elements from the reference generators
+    are 1- or 2-node, but any mix of sizes is supported)."""
+    sizes = np.diff(mesh.elem_ptr)
+    groups = {}
+    for k in np.unique(sizes):
+        k = int(k)
+        e_ids = np.where(sizes == k)[0]
+        starts = mesh.elem_ptr[e_ids]
+        idx = mesh.elem_idx[starts[:, None] + np.arange(k)[None, :]]
+        if isinstance(mesh.elem_mats, np.ndarray) and mesh.elem_mats.ndim == 3:
+            mats = mesh.elem_mats[e_ids]
+        else:
+            mats = np.stack([mesh.elem_mats[e] for e in e_ids])
+        groups[k] = (e_ids, idx.astype(np.int64), mats)
+    return groups
+
+
+def _local_triplets(mesh: ElementMesh, decomp: Decomposition, p: int,
+                    groups=None):
+    """(li, lj, val, nnz) triplets of domain p's weighted Neumann block,
+    vectorized over elements (grouped by element size)."""
     nodes = decomp.dom_nodes[p]
     elems = decomp.elem_doms[p]
+    if groups is None:
+        groups = _group_elems_by_size(mesh)
+    in_dom = np.zeros(mesh.n_elems, dtype=bool)
+    in_dom[elems] = True
     lis, ljs, vals = [], [], []
-    pattern: set = set()
-    for e in elems:
-        gdofs = mesh.elem_nodes(e)
-        lidx = np.searchsorted(nodes, gdofs)
-        w = 1.0 / decomp.elem_mult[e]
-        m = mesh.elem_mats[e] * w
-        gi, gj = np.meshgrid(lidx, lidx, indexing="ij")
-        lis.append(gi.ravel())
-        ljs.append(gj.ravel())
-        vals.append(m.ravel())
-        pattern.update(zip(gi.ravel().tolist(), gj.ravel().tolist()))
+    keys = []
+    nmax = len(nodes) + 1
+    for k, (e_ids, idx, mats) in groups.items():
+        sel = in_dom[e_ids]
+        if not sel.any():
+            continue
+        gdofs = idx[sel]                       # [ne, k]
+        lidx = np.searchsorted(nodes, gdofs)   # [ne, k]
+        w = 1.0 / decomp.elem_mult[e_ids[sel]]
+        m = mats[sel] * w[:, None, None]
+        li = np.repeat(lidx, k, axis=1)        # [ne, k*k] row-major pairs
+        lj = np.tile(lidx, (1, k))
+        lis.append(li.ravel())
+        ljs.append(lj.ravel())
+        vals.append(m.reshape(len(gdofs), -1).ravel())
+        keys.append((li.astype(np.int64) * nmax + lj).ravel())
     if lis:
+        nnz = len(np.unique(np.concatenate(keys)))
         return (np.concatenate(lis), np.concatenate(ljs),
-                np.concatenate(vals), len(pattern))
+                np.concatenate(vals), nnz)
     return (np.zeros(0, np.int64), np.zeros(0, np.int64),
             np.zeros(0, np.float64), 0)
 
 
-def assemble_global_csr(mesh: ElementMesh) -> sp.csr_matrix:
-    """Assembled global operator (the MatMPIAIJ view)."""
+def assemble_global_csr(mesh: ElementMesh, groups=None) -> sp.csr_matrix:
+    """Assembled global operator (the MatMPIAIJ view), vectorized."""
+    if groups is None:
+        groups = _group_elems_by_size(mesh)
     rows, cols, vals = [], [], []
-    for e in range(mesh.n_elems):
-        gdofs = mesh.elem_nodes(e)
-        gi, gj = np.meshgrid(gdofs, gdofs, indexing="ij")
-        rows.append(gi.ravel())
-        cols.append(gj.ravel())
-        vals.append(mesh.elem_mats[e].ravel())
+    for k, (e_ids, idx, mats) in groups.items():
+        rows.append(np.repeat(idx, k, axis=1).ravel())
+        cols.append(np.tile(idx, (1, k)).ravel())
+        vals.append(mats.reshape(len(e_ids), -1).ravel())
     a = sp.coo_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(mesh.n_nodes, mesh.n_nodes)).tocsr()
@@ -160,7 +201,8 @@ def assemble(mesh: ElementMesh, decomp: Decomposition,
     a_neu = np.tile(np.eye(n_max, dtype=np_dtype), (n_dom, 1, 1))
     a_dir = np.tile(np.eye(n_max, dtype=np_dtype), (n_dom, 1, 1))
 
-    a_csr = assemble_global_csr(mesh)
+    groups = _group_elems_by_size(mesh)
+    a_csr = assemble_global_csr(mesh, groups)
     nnz_loc = np.zeros(n_dom, dtype=np.int64)
 
     for p in range(n_dom):
@@ -171,7 +213,7 @@ def assemble(mesh: ElementMesh, decomp: Decomposition,
         gids[p, :k] = nodes
         mask[p, :k] = True
         mult[p, :k] = decomp.node_mult[nodes]
-        li, lj, vals, nnz = _local_triplets(mesh, decomp, p)
+        li, lj, vals, nnz = _local_triplets(mesh, decomp, p, groups)
         nnz_loc[p] = nnz
         blk = np.zeros((n_max, n_max), dtype=np.float64)
         np.add.at(blk, (li, lj), vals)
@@ -180,11 +222,18 @@ def assemble(mesh: ElementMesh, decomp: Decomposition,
         dirb = np.asarray(a_csr[np.ix_(nodes, nodes)].todense())
         a_dir[p, :k, :k] = dirb.astype(np_dtype)
 
+    # The batch is created on the HOST (CPU backend): setup consumes it
+    # there (the reference's setup is CPU-side: ARPACK/MUMPS/LAPACK), and
+    # the one-shot upload of the finished preconditioner products to the
+    # accelerator happens at the end of setup.  Device->host pulls are
+    # avoided entirely (pathologically slow on tunneled TPU platforms).
+    cpu = jax.devices("cpu")[0]
+    put = lambda x: jax.device_put(x, cpu)
     batch = SubdomainBatch(
         n_dof=n_dof, n_dom=n_dom, n_max=n_max,
-        gids=jnp.asarray(gids), mask=jnp.asarray(mask),
-        mult=jnp.asarray(mult), a_neu=jnp.asarray(a_neu),
-        a_dir=jnp.asarray(a_dir))
+        gids=put(gids), mask=put(mask),
+        mult=put(mult.astype(np_dtype)), a_neu=put(a_neu.astype(np_dtype)),
+        a_dir=put(a_dir.astype(np_dtype)))
     return AssembledProblem(mesh=mesh, decomp=decomp, batch=batch,
                             a_csr=a_csr, nnz_loc=nnz_loc)
 

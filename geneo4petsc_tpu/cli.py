@@ -1,0 +1,393 @@
+"""CLI driver — the L6 layer of the reference (main/checkArguments/usage,
+src/geneo4PETSc.cpp:1396-1633) rebuilt for the TPU framework.
+
+Same flag surface:
+  --inpFileA F --inpEps E --inpLibA L A --inpFileB F --metisDual
+  --metisNodal --addOverlap L --debug F --verbose V --timing --shortRes
+  --cmdLine --help
+plus PETSc-style options consumed from the remaining argv:
+  -pc_type {geneo,bjacobi,none} -ksp_type {gmres,cg} -ksp_rtol -ksp_atol
+  -ksp_divtol -ksp_max_it -ksp_gmres_restart -options_left
+  -geneo_lvl L1,L2 -geneo_optim -geneo_tau -geneo_gamma -geneo_cst
+  -geneo_cut -geneo_no_syl -geneo_offload -geneo_dbg F,D -geneo_chk F
+and one TPU-specific flag replacing `mpirun -n N`:
+  --nbPart N   (number of subdomains; devices shard them as available)
+
+Output protocol (INFO/TIME/WRNG/CMD lines, verbose dumps) matches the
+reference's formats so logs stay parseable by plot-style tooling.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .config import DriverOptions, GenEOOptions, KSPOptions
+from .io import element_input as ei
+from .io.plugin import get_lib_input
+from .krylov import common as kcm
+from .utils import petsc_format as pf
+from .utils.timers import Timers
+
+USAGE = """
+usage: geneo4petsc_tpu is a TPU-native implementation of the GenEO preconditioner (JAX/XLA)
+
+  --help,         print help
+  --inpFileA F,   input file F describing the A matrix (mandatory unless --inpLibA)
+  --inpEps E,     epsilon used to tune the elementary matrix (defaults to 0.0001)
+  --inpLibA L A,  input generator: registered name (laplacian|heat|graph),
+                  python path (module:function), or .so implementing the flat-C ABI
+                  A: '#'-separated arguments passed to the generator
+  --inpFileB F,   input file F describing the B vector
+  --metisDual,    partition by elements (each element in exactly one partition)
+  --metisNodal,   partition by nodes (elements may belong to several partitions)
+  --addOverlap L, add L layers of overlap at each domain border
+  --nbPart N,     number of subdomains (the reference's mpirun -n N)
+  --debug F,      create debug files (F = log, bin or mat)
+  --verbose V,    V=1: dump X; V=2: dump A, B and X
+  --timing,       print timing
+  --shortRes,     print short result status (stable golden-test output)
+  --cmdLine,      print command line at the end of the log
+
+  -pc_type P           geneo | bjacobi | none
+  -ksp_type K          gmres | cg
+  -ksp_rtol/-ksp_atol/-ksp_divtol/-ksp_max_it/-ksp_gmres_restart
+  -geneo_lvl L1,L2     L1 = ASM|RAS|SRAS|ORAS|SORAS; L2 = 0|1|H1|E1|2|H2|E2
+  -geneo_optim A  -geneo_tau T  -geneo_gamma G  -geneo_cst  -geneo_cut C
+  -geneo_no_syl  -geneo_offload  -geneo_dbg F,D  -geneo_chk F
+"""
+
+
+class CLIError(Exception):
+    pass
+
+
+def parse_args(argv: list[str]):
+    drv = DriverOptions()
+    ksp = KSPOptions(rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000)
+    gen = GenEOOptions()
+    pc_type = None
+    check = False
+    dbg_level = 0
+    user_cmd = "geneo4petsc_tpu " + " ".join(argv)
+
+    def need(i, name):
+        if i >= len(argv):
+            raise CLIError(f"Error: invalid command line, {name}")
+        return argv[i]
+
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--help":
+            raise CLIError("__help__")
+        elif a == "--inpFileA":
+            i += 1; drv.inp_file_a = need(i, a)
+        elif a == "--inpEps":
+            i += 1; drv.inp_eps = float(need(i, a))
+        elif a == "--inpLibA":
+            i += 1; drv.inp_lib_a = need(i, a)
+            # reference form: --inpLibA L A (two tokens); also accept the
+            # explicit --inpLibArg A form
+            if i + 1 < len(argv) and argv[i + 1] != "--inpLibArg":
+                i += 1; drv.inp_lib_arg = need(i, a)
+        elif a == "--inpLibArg":
+            i += 1; drv.inp_lib_arg = need(i, a)
+        elif a == "--inpFileB":
+            i += 1; drv.inp_file_b = need(i, a)
+        elif a == "--metisDual":
+            drv.metis_dual = True
+        elif a == "--metisNodal":
+            drv.metis_dual = False
+        elif a == "--addOverlap":
+            i += 1; drv.add_overlap = int(need(i, a))
+        elif a == "--nbPart":
+            i += 1; drv.n_parts = int(need(i, a))
+        elif a == "--debug":
+            drv.debug = True
+            i += 1
+            f = need(i, a)
+            drv.debug_bin = f == "bin"
+            drv.debug_mat = f == "mat"
+        elif a == "--verbose":
+            i += 1; drv.verbose = int(need(i, a))
+        elif a == "--timing":
+            drv.timing = True
+        elif a == "--shortRes":
+            drv.short_res = True
+        elif a == "--cmdLine":
+            drv.cmd_line = True
+        elif a == "-pc_type":
+            i += 1; pc_type = need(i, a)
+            if pc_type == "geneo":
+                drv.use_mat_mpi = False
+        elif a == "-ksp_type":
+            i += 1; ksp.type = need(i, a)
+        elif a == "-ksp_rtol":
+            i += 1; ksp.rtol = float(need(i, a))
+        elif a == "-ksp_atol":
+            i += 1; ksp.atol = float(need(i, a))
+        elif a == "-ksp_divtol":
+            i += 1; ksp.dtol = float(need(i, a))
+        elif a == "-ksp_max_it":
+            i += 1; ksp.max_it = int(need(i, a))
+        elif a == "-ksp_gmres_restart":
+            i += 1; ksp.restart = int(need(i, a))
+        elif a == "-geneo_lvl":
+            i += 1
+            parts = need(i, a).split(",")
+            if len(parts) != 2:
+                raise CLIError("Error: invalid option -geneo_lvl")
+            gen.lvl1, gen.lvl2 = parts
+        elif a == "-geneo_optim":
+            i += 1; gen.optim = float(need(i, a))
+        elif a == "-geneo_tau":
+            i += 1; gen.tau = float(need(i, a))
+        elif a == "-geneo_gamma":
+            i += 1; gen.gamma = float(need(i, a))
+        elif a == "-geneo_cst":
+            gen.cst = True
+        elif a == "-geneo_cut":
+            i += 1; gen.cut = int(need(i, a))
+        elif a == "-geneo_no_syl":
+            gen.no_syl = True
+        elif a == "-geneo_offload":
+            gen.offload = True
+        elif a == "-geneo_dbg":
+            i += 1
+            parts = need(i, a).split(",")
+            if len(parts) != 2:
+                raise CLIError("Error: invalid option -geneo_dbg")
+            dbg_level = int(parts[1])
+        elif a == "-geneo_chk":
+            i += 1; need(i, a)
+            check = True
+        elif a == "-options_left":
+            i += 1; need(i, a)  # consumed, no-op (we never warn)
+        i += 1
+
+    if pc_type is None:
+        pc_type = "bjacobi"  # PETSc parallel default PC
+    if not drv.inp_file_a and not drv.inp_lib_a:
+        raise CLIError("Error: no input")
+    if drv.inp_file_a and drv.inp_lib_a:
+        raise CLIError("Error: several input")
+    return drv, ksp, gen, pc_type, check, dbg_level, user_cmd
+
+
+def run(argv: list[str], out=sys.stdout) -> int:
+    t_total = time.perf_counter()
+    try:
+        drv, ksp, gen, pc_type, check, dbg_level, user_cmd = parse_args(argv)
+    except CLIError as e:
+        if str(e) == "__help__":
+            print(USAGE, file=sys.stderr)
+            return 0
+        print(str(e), file=sys.stderr)
+        print(USAGE, file=sys.stderr)
+        return 1
+
+    from .assembly.assemble import assemble
+    from .partition.decompose import partition_and_decompose
+    from .solver import solve_assembled
+    from .utils.check import run_checks
+
+    timers = Timers()
+
+    # --- read input (L1) ---
+    t0 = time.perf_counter()
+    if drv.inp_file_a:
+        mesh = ei.read_input_file(drv.inp_file_a, drv.inp_eps)
+    else:
+        mesh = get_lib_input(drv.inp_lib_a, drv.inp_lib_arg)
+    timers.add("read_input", time.perf_counter() - t0)
+
+    # --- partition & decompose (L2) ---
+    t0 = time.perf_counter()
+    decomp = partition_and_decompose(mesh, drv.n_parts,
+                                     metis_dual=drv.metis_dual,
+                                     add_overlap=drv.add_overlap)
+    timers.add("part_decomp", time.perf_counter() - t0)
+    for p in range(decomp.n_dom):
+        if len(decomp.dom_nodes[p]) == 0:
+            print(f"WRNG: the domain {p} is empty", file=out)
+
+    # --- assemble (L3) ---
+    t0 = time.perf_counter()
+    ap = assemble(mesh, decomp)
+    timers.add("create_a", time.perf_counter() - t0)
+
+    if drv.verbose >= 2:
+        _dump_a(ap, drv, out)
+
+    from .solver import build_rhs
+    b = build_rhs(ap, drv)
+    if drv.verbose >= 2:
+        print(pf.format_vec(b, drv.n_parts, "B"), file=out)
+
+    if drv.debug:
+        _debug_driver_files(ap, b, drv)
+
+    # --- solve (L4/L5) ---
+    res = solve_assembled(ap, pc_type=pc_type, geneo=gen, ksp=ksp, b=b,
+                          driver=drv, timers=timers)
+
+    if check:
+        run_checks(ap, res.pc, pc_type)
+
+    if drv.verbose >= 1:
+        print(pf.format_vec(res.x, drv.n_parts, "X").replace(
+            "The vector X is:", "The solution X is:"), file=out)
+
+    if drv.debug:
+        np.savetxt("debug.output.X.log", res.x, fmt="%.12g")
+        h = np.asarray(res.result.history)
+        h = h[~np.isnan(h)]
+        with open("debug.apply.residual.log", "w") as f:
+            for it, r in enumerate(h):
+                f.write(f"Iteration {it}: residual {r:g}\n")
+
+    _print_info(res, drv, ksp, gen, pc_type, out)
+    _print_results(res, drv, out)
+    if drv.timing:
+        _print_timing(res, drv, gen, pc_type, timers, out,
+                      time.perf_counter() - t_total)
+    if drv.cmd_line:
+        print(f"\nCMD: {user_cmd}", file=out)
+    return 0 if res.converged else 0  # reference returns 0; result in log
+
+
+def _dump_a(ap, drv, out):
+    gids = np.asarray(ap.batch.gids)
+    mask = np.asarray(ap.batch.mask)
+    aneu = np.asarray(ap.batch.a_neu, np.float64)
+    if drv.use_mat_mpi:
+        print(pf.format_aij_global(ap.a_csr.toarray(), drv.n_parts, "A"),
+              file=out)
+    else:
+        blocks = []
+        for p in range(ap.batch.n_dom):
+            k = int(mask[p].sum())
+            blocks.append(aneu[p, :k, :k])
+        print(pf.format_matis(blocks, drv.n_parts, "A"), file=out)
+
+
+def _debug_driver_files(ap, b, drv):
+    mask = np.asarray(ap.batch.mask)
+    aneu = np.asarray(ap.batch.a_neu, np.float64)
+    with open("debug.input.A.MatIS.log", "w") as f:
+        blocks = [aneu[p, :int(mask[p].sum()), :int(mask[p].sum())]
+                  for p in range(ap.batch.n_dom)]
+        f.write(pf.format_matis(blocks, drv.n_parts))
+    np.savetxt("debug.input.B.log", b, fmt="%.12g")
+
+
+def _print_info(res, drv, ksp, gen, pc_type, out):
+    mode = "metis dual" if drv.metis_dual else "metis nodal"
+    print(f"INFO: nb DOFs {res.n_dof}, nb elements {res.n_elems}, "
+          f"nnz coefs {res.nnz}, nb partitions {res.n_dom}, "
+          f"overlap {drv.add_overlap}, {mode}", file=out)
+    print(f"INFO: {ksp.type} ksp, eps rel {ksp.rtol:.1e}, "
+          f"eps abs {ksp.atol:.1e}, max iterations {ksp.max_it}", file=out)
+    if pc_type == "geneo":
+        line = f"INFO: {gen.name} pc"
+        if gen.lvl1_oras:
+            line += f", optim {gen.optim:.2f}"
+        if gen.eff_hybrid:
+            line += ", initial guess"
+        l1_solver = gen.dls1.type
+        proj = "proj-fine-space" if gen.hybrid else "no-proj-fine-space"
+        line += f", L1 {l1_solver} {proj}"
+        if gen.lvl2_num:
+            line += f", tau {gen.tau:.2f}"
+            if gen.lvl2_num >= 2:
+                line += f", gamma {gen.gamma:.2f}"
+            if gen.offload:
+                line += ", offload"
+            line += f", L2 {res.info_l2}"
+            print(line, file=out)
+            if not drv.short_res:
+                st = res.stats
+                line = "INFO: setup - "
+                if not gen.no_syl:
+                    line += (f"estim dimE {st.estim_dim_e.sum()} (local: "
+                             f"min {st.estim_dim_e.min()}, "
+                             f"max {st.estim_dim_e.max()}), ")
+                line += (f", real dimE {st.real_dim_e.sum()} (local: "
+                         f"min {st.real_dim_e.min()}, "
+                         f"max {st.real_dim_e.max()})"
+                         f", nicolaides {st.nicolaides.sum()}")
+                print(line, file=out)
+        else:
+            print(line, file=out)
+            if not drv.short_res:
+                print("INFO: setup - none", file=out)
+    else:
+        print(f"INFO: {pc_type} pc", file=out)
+        if not drv.short_res:
+            print("INFO: setup - none", file=out)
+
+
+def _print_results(res, drv, out):
+    status = "converged" if res.converged else "diverged"
+    if drv.short_res:
+        print(f"INFO: solve - {status}", file=out)
+        return
+    reason = kcm.reason_string(int(res.result.reason))
+    print(f"INFO: solve - {status} ({reason}), {res.its} iteration(s), "
+          f"residual norm {float(res.result.rnorm):.10f}, "
+          f"|| AX - B || / || B || {res.true_res:.10f}", file=out)
+
+
+def _print_timing(res, drv, gen, pc_type, timers: Timers, out, total_s):
+    t = timers.get
+    print("", file=out)
+    print(f"TIME: read input {t('read_input'):.5f} s, "
+          f"part / decomp {t('part_decomp'):.5f} s"
+          f", create A {t('create_a'):.5f} s, "
+          f"solver set up {t('ksp_setup'):.5f} s"
+          f", solver iterations {t('ksp_iterations'):.5f} s, "
+          f"solve {t('ksp_iterations') + t('ksp_setup'):.5f} s", file=out)
+    if pc_type == "geneo":
+        print(f"      L1       setup: Minv {t('l1_minv'):.5f} s", file=out)
+        if gen.lvl2_num:
+            line = "      L2       setup: "
+            if not gen.no_syl:
+                line += f"sylvester {t('l2_syl'):.5f} s, "
+            line += (f"eigen solve {t('l2_eig'):.5f} s, Z {t('l2_z'):.5f} s"
+                     f", E {t('l2_e'):.5f} s")
+            print(line, file=out)
+            line = f"      L2 tau   setup: tau   loc {t('l2_tau_loc'):.5f} s"
+            if not gen.no_syl:
+                line += f", sylvester {t('l2_tau_syl'):.5f} s"
+            line += f", eigen solve {t('l2_tau_eig'):.5f} s"
+            print(line, file=out)
+            if gen.lvl2_num >= 2:
+                line = ("      L2 gamma setup: gamma loc "
+                        f"{t('l2_gamma_loc'):.5f} s")
+                if not gen.no_syl:
+                    line += f", sylvester {t('l2_gamma_syl'):.5f} s"
+                line += f", eigen solve {t('l2_gamma_eig'):.5f} s"
+                print(line, file=out)
+        print(f"      L1       solve: apply {t('l1_apply'):.5f} s - "
+              f"scatter {t('l1_scatter'):.5f} s, Minv {t('l1_minv_apply'):.5f} s, "
+              f"gather {t('l1_gather'):.5f} s", file=out)
+        if gen.hybrid:
+            print(f"      L1       solve: prjFS {t('prjfs'):.5f} s - "
+                  f"Zt {t('prjfs_zt'):.5f} s, Einv {t('prjfs_einv'):.5f} s, "
+                  f"Z {t('prjfs_z'):.5f} s", file=out)
+        if gen.lvl2_num:
+            print(f"      L2       solve: apply {t('l2_apply'):.5f} s - "
+                  f"Zt {t('l2_zt'):.5f} s, Einv {t('l2_einv'):.5f} s, "
+                  f"Z {t('l2_z_apply'):.5f} s", file=out)
+    print(f"TIME: total time {total_s:.5f} s", file=out)
+
+
+def main() -> int:
+    return run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

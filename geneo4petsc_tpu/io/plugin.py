@@ -53,6 +53,9 @@ def get_lib_input(lib: str, args: str) -> ElementMesh:
     (``pkg.mod:fn``), or a path to a ``.so`` implementing the C ABI.
     """
     args = expand_args(args)
+    if lib not in _REGISTRY:
+        # built-in generators register themselves on import
+        from .. import models  # noqa: F401
     if lib in _REGISTRY:
         return _REGISTRY[lib](args)
     if lib.endswith(".so"):

@@ -1,0 +1,96 @@
+"""Mixed-precision iterative refinement around the f32 Krylov hot path.
+
+The reference runs fully in PETSc doubles.  On TPU the fast path is f32
+(MXU) while f64 is software-emulated, so the idiomatic way to reach tight
+tolerances (1e-8 true residual) is inner f32 preconditioned Krylov +
+outer f64 residual refinement: classic mixed-precision IR, with the f64
+residual computed either on-device (emulated, still cheap — one SpMV per
+outer step) or host-side through the assembled CSR.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .cg import cg_solve
+from .gmres import gmres_solve
+
+
+@dataclass
+class RefinedResult:
+    x: np.ndarray
+    outer_its: int
+    inner_its: int
+    true_res: float
+    converged: bool
+    history: list
+
+
+def make_inner_solver(matvec32: Callable, pc_apply32: Callable | None,
+                      inner_rtol: float = 1e-6, inner_max_it: int = 2000,
+                      ksp_type: str = "cg") -> Callable:
+    """Build (and jit once) the inner f32 Krylov correction solver; reuse
+    it across refined_solve calls to amortize compilation."""
+    if ksp_type == "cg":
+        def inner(r32):
+            return cg_solve(matvec32, r32, pc_apply32, rtol=inner_rtol,
+                            max_it=inner_max_it)
+    else:
+        def inner(r32):
+            return gmres_solve(matvec32, r32, pc_apply32, rtol=inner_rtol,
+                               max_it=inner_max_it)
+    return jax.jit(inner)
+
+
+def refined_solve(matvec32: Callable, pc_apply32: Callable | None,
+                  b: np.ndarray,
+                  residual64: Callable[[np.ndarray], np.ndarray],
+                  tol: float = 1e-8,
+                  inner_rtol: float = 1e-6,
+                  inner_max_it: int = 2000,
+                  max_outer: int = 8,
+                  ksp_type: str = "cg",
+                  x0: np.ndarray | None = None,
+                  inner_solver: Callable | None = None) -> RefinedResult:
+    """Solve A x = b to ||b - A x|| / ||b|| <= tol (f64 truth).
+
+    matvec32 / pc_apply32: jit-compiled f32 device functions.
+    residual64(x) -> b - A x in float64 (host CSR or device f64 SpMV).
+    inner_solver: optional prebuilt solver from make_inner_solver.
+    """
+    b = np.asarray(b, np.float64)
+    bnorm = np.linalg.norm(b)
+    x = np.zeros_like(b) if x0 is None else np.asarray(x0, np.float64)
+
+    inner_j = inner_solver or make_inner_solver(
+        matvec32, pc_apply32, inner_rtol, inner_max_it, ksp_type)
+
+    inner_total = 0
+    history = []
+    converged = False
+    for outer in range(max_outer):
+        r = residual64(x)
+        rel = np.linalg.norm(r) / bnorm
+        history.append(rel)
+        if rel <= tol:
+            converged = True
+            break
+        res = inner_j(jnp.asarray(r, jnp.float32))
+        inner_total += int(res.its)
+        x = x + np.asarray(res.x, np.float64)
+    else:
+        outer = max_outer
+        r = residual64(x)
+        rel = np.linalg.norm(r) / bnorm
+        history.append(rel)
+        converged = rel <= tol
+
+    return RefinedResult(x=x, outer_its=outer, inner_its=inner_total,
+                         true_res=float(history[-1]), converged=converged,
+                         history=history)

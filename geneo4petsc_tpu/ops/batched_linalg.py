@@ -80,20 +80,65 @@ def lu_factor_nullpivot(a: jax.Array):
 
 
 @jax.jit
-def generalized_eigh(a: jax.Array, b: jax.Array):
-    """Batched symmetric-definite generalized eigensolve A v = lambda B v.
-
-    Returns (w [d, n] ascending, v [d, n, n] columns).  Implemented via
-    B = L L^T, C = L^-1 A L^-T, eigh(C), v = L^-T u — the dense equivalent
-    of SLEPc's GHEP path; the inner triangular solves are the batched
-    analogue of the ST/MUMPS inner LU (src/geneo.cpp:746-780).
-    """
+def _generalized_eigh_impl(a: jax.Array, b: jax.Array):
     l = cholesky_factor(_sym(b))
     y = jsl.solve_triangular(l, _sym(a), lower=True)            # L^-1 A
     c = jsl.solve_triangular(l, jnp.swapaxes(y, -1, -2), lower=True)
     w, u = jnp.linalg.eigh(_sym(c))
     v = jsl.solve_triangular(jnp.swapaxes(l, -1, -2), u, lower=False)
     return w, v
+
+
+def _generalized_eigh_host(a, b):
+    """Host LAPACK path (float64): batched Cholesky + eigh via numpy."""
+    import numpy as np
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    a = 0.5 * (a + a.transpose(0, 2, 1))
+    b = 0.5 * (b + b.transpose(0, 2, 1))
+    try:
+        l = np.linalg.cholesky(b)
+    except np.linalg.LinAlgError:
+        scale = np.mean(np.abs(np.diagonal(b, axis1=-2, axis2=-1)),
+                        axis=-1)[:, None, None]
+        jit = 1e3 * np.finfo(np.float64).eps * scale
+        l = np.linalg.cholesky(b + jit * np.eye(b.shape[-1]))
+    y = np.linalg.solve(l, a)                         # L^-1 A
+    c = np.linalg.solve(l, y.transpose(0, 2, 1))      # L^-1 A L^-T
+    c = 0.5 * (c + c.transpose(0, 2, 1))
+    w, u = np.linalg.eigh(c)
+    v = np.linalg.solve(l.transpose(0, 2, 1), u)      # L^-T U
+    return w, v
+
+
+def generalized_eigh(a: jax.Array, b: jax.Array, device: str = "auto"):
+    """Batched symmetric-definite generalized eigensolve A v = lambda B v.
+
+    Returns (w [d, n] ascending, v [d, n, n] columns).  B = L L^T,
+    C = L^-1 A L^-T, eigh(C), v = L^-T u — the dense equivalent of SLEPc's
+    GHEP path; the inner triangular solves are the batched analogue of the
+    ST/MUMPS inner LU (src/geneo.cpp:746-780).
+
+    device="auto"/"host": the setup-phase eigensolve runs on the HOST via
+    LAPACK in float64 — exactly where (and at the precision) the reference
+    runs ARPACK/LAPACK; XLA's eigh lowering is QR-iteration-in-IR and is
+    far slower than LAPACK on both CPU and (compile-wise) TPU.  The
+    iteration-phase kernels are unaffected.  device="jax" keeps the
+    on-device batched implementation (useful once shapes are cached).
+    """
+    if device in ("auto", "host", "cpu"):
+        return _generalized_eigh_host(a, b)
+    return _generalized_eigh_impl(a, b)
+
+
+def host_eigh(a: jax.Array):
+    """Setup-phase symmetric eigendecomposition on the host via LAPACK
+    (float64) — same rationale as generalized_eigh's host path."""
+    import numpy as np
+
+    a = np.asarray(a, np.float64)
+    return np.linalg.eigh(0.5 * (a + a.swapaxes(-1, -2)))
 
 
 @jax.jit

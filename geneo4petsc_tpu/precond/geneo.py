@@ -83,6 +83,10 @@ class GenEOPreconditioner:
                          preferred_element_type=x.dtype)
         w = jax.ops.segment_sum(ztx.ravel(), self.colids.ravel(),
                                 num_segments=self.dim_e + 1)[:-1]
+        if self.batch.axis is not None:
+            # all-reduce the per-shard coarse contributions (the all_gather
+            # of EV counts + distributed Z^T x of the reference, over ICI)
+            w = jax.lax.psum(w, self.batch.axis)
         # E^-1 via the replicated spectral factorization: exact inverse for
         # nonsingular E; spectral pseudo-inverse (tiny eigenvalues truncated)
         # when coarse columns are dependent — the well-posed equivalent of
@@ -222,9 +226,60 @@ def _select_columns(w: np.ndarray, kind: str, thr: np.ndarray,
 
 def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
                 b: jax.Array | None = None,
-                decomp=None) -> tuple[GenEOPreconditioner, GenEOStats]:
-    """Full preconditioner setup (PCSetUp -> setUpGenEOPC path)."""
+                decomp=None, timers=None
+                ) -> tuple[GenEOPreconditioner, GenEOStats]:
+    """Full preconditioner setup (PCSetUp -> setUpGenEOPC path).
+
+    Setup numerics run ENTIRELY on the host (CPU backend + LAPACK): that is
+    the reference's cost model (ARPACK/MUMPS/LAPACK setup on CPU,
+    src/geneo.cpp:626-780), it avoids one-shot accelerator compiles, and it
+    avoids ALL device->host pulls (pathologically slow on tunneled TPU
+    platforms).  The finished products — operator blocks, L1 factors, Z,
+    the coarse factorization — are uploaded to the accelerator once at the
+    end; only iteration-phase kernels ever compile for the accelerator.
+
+    ``timers``: optional utils.timers.Timers — records the reference's
+    per-phase setup taxonomy (l1_minv, l2_{tau,gamma}_{loc,syl,eig},
+    l2_{syl,eig,z,e}; geneo.hpp:113-123)."""
+    import dataclasses
+
+    if jax.default_backend() != "cpu":
+        cpu = jax.devices("cpu")[0]
+        dev = jax.devices()[0]
+        if next(iter(batch.gids.devices())).platform != "cpu":
+            batch = jax.device_put(batch, cpu)  # slow pull; assemble on host
+        with jax.default_device(cpu):
+            pc, stats = _setup_geneo_impl(batch, opts, decomp, timers)
+        pc = jax.device_put(pc, dev)  # single host->device upload
+        if opts.eff_hybrid and b is not None:
+            pc = dataclasses.replace(pc, x0=pc.apply_q(b))
+        return pc, stats
+    pc, stats = _setup_geneo_impl(batch, opts, decomp, timers)
+    if opts.eff_hybrid and b is not None:
+        pc = dataclasses.replace(pc, x0=pc.apply_q(b))
+    return pc, stats
+
+
+def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
+                      decomp=None, timers=None
+                      ) -> tuple[GenEOPreconditioner, GenEOStats]:
+    import os as _os
+    import sys as _sys
+    import time as _time
     opts.validate()
+    _dbg = _os.environ.get("GENEO_SETUP_VERBOSE") == "1"
+    _dbg_t0 = _time.perf_counter()
+
+    def _vlog(msg):
+        if _dbg:
+            print(f"[setup {_time.perf_counter() - _dbg_t0:7.2f}s] {msg}",
+                  file=_sys.stderr, flush=True)
+
+    def _mark(name, t0):
+        if timers is not None:
+            timers.add(name, _time.perf_counter() - t0)
+        return _time.perf_counter()
+
     dtype = batch.a_neu.dtype
     n_dom = batch.n_dom
     n_dof = batch.n_dof
@@ -233,11 +288,16 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
     n_real = mask_np.sum(axis=1).astype(np.int64)
 
     # ----- level 1: factor Dirichlet (ASM..SRAS) or Robin (ORAS/SORAS) -----
+    _t = _time.perf_counter()
     if opts.lvl1_oras:
         m_blocks = robin_blocks(batch, opts.optim)   # (14) of R4
     else:
         m_blocks = batch.a_dir                       # (1.30) of R1
+    _vlog("factoring L1 blocks")
     l1_factor = bl.cholesky_factor(m_blocks)
+    l1_factor.block_until_ready()
+    _t = _mark("l1_minv", _t)
+    _vlog("L1 factored")
 
     need_pou = opts.lvl2_num > 0 or opts.lvl1_ras
     pou = batch.pou if need_pou else None
@@ -251,9 +311,9 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
     if opts.lvl2_num == 0:
         pc = GenEOPreconditioner(
             lvl1=opts.lvl1, lvl2=0, hybrid=False, eff_hybrid=False,
-            dim_e=0, k_max=0, batch=batch, l1_factor=l1_factor, pou=pou,
-            z_loc=None, colids=None, e_evecs=None, e_eig_inv=None,
-            x0=jnp.zeros(n_dof, dtype))
+            dim_e=0, k_max=0, batch=batch, l1_factor=l1_factor,
+            pou=pou, z_loc=None, colids=None, e_evecs=None,
+            e_eig_inv=None, x0=jnp.zeros(n_dof, dtype))
         return pc, stats
 
     # ----- level 2: batched local generalized eigenproblems -----
@@ -287,14 +347,28 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
     evals: list[list[float]] = [[] for _ in range(n_dom)]
 
     for kind, a_p, b_p, thr in problems:
+        _t = _time.perf_counter()
         steer = 1e6 if kind == "tau" else 1e-6
         a_eff = _with_pad_diag(a_p, batch.mask, steer)
         b_eff = b_p  # pad diag stays 1
+        _vlog(f"eigensolve ({kind})")
         w, v = bl.generalized_eigh(a_eff, b_eff)
         w_np = np.asarray(w, np.float64)
         v_np = np.asarray(v, np.float64)
+        import time as _time2
+        if timers is not None:
+            dt = _time2.perf_counter() - _t
+            timers.add("l2_eig", dt)
+            timers.add(f"l2_{kind}_eig", dt)
+        _t = _time2.perf_counter()
+        _vlog(f"selecting ({kind})")
         keep, estim = _select_columns(w_np, kind, thr, n_real,
                                       opts.no_syl, cut)
+        if timers is not None:
+            dt = _time2.perf_counter() - _t
+            timers.add("l2_syl", dt)
+            timers.add(f"l2_{kind}_syl", dt)
+        _t = _time2.perf_counter()
         if not opts.no_syl:
             stats.estim_dim_e += estim
         a_np = np.asarray(a_p, np.float64)
@@ -344,6 +418,8 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
             colids_np[p, j] = offsets[p] + j
     stats.eigenvalues = evals
 
+    _vlog(f"building Z (dim_e={dim_e}, k_max={k_max})")
+    _t = _time.perf_counter()
     z_loc = jnp.asarray(z_np, dtype)
     colids = jnp.asarray(colids_np)
 
@@ -362,23 +438,29 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
     zg_j = jnp.asarray(zg, dtype)
     az = jax.vmap(lambda col: SubdomainBatch.matvec(batch, col),
                   in_axes=1, out_axes=1)(zg_j)
+    _vlog("building E")
+    _t = _mark("l2_z", _t)
     e = zg_j.T @ az
     e = 0.5 * (e + e.T)
-    ew, ev = jnp.linalg.eigh(e)
+    ew, ev = bl.host_eigh(e)
+    # round-trip through host numpy so the factors land on the default
+    # (accelerator) device uncommitted
+    ew = jnp.asarray(np.asarray(ew), dtype)
+    ev = jnp.asarray(np.asarray(ev), dtype)
     tol = dim_e * jnp.finfo(dtype).eps * jnp.max(jnp.abs(ew))
     e_eig_inv = jnp.where(ew > tol, 1.0 / jnp.where(ew > tol, ew, 1.0), 0.0)
+    e_eig_inv.block_until_ready()
+    _t = _mark("l2_e", _t)
+    _vlog("E factored; transferring products")
 
     pc = GenEOPreconditioner(
         lvl1=opts.lvl1, lvl2=opts.lvl2_num, hybrid=opts.hybrid,
         eff_hybrid=opts.eff_hybrid, dim_e=dim_e, k_max=k_max,
-        batch=batch, l1_factor=l1_factor, pou=pou, z_loc=z_loc,
-        colids=colids, e_evecs=ev, e_eig_inv=e_eig_inv,
-        x0=jnp.zeros(n_dof, dtype))
+        batch=batch, l1_factor=l1_factor, pou=pou,
+        z_loc=z_loc, colids=colids, e_evecs=ev,
+        e_eig_inv=e_eig_inv, x0=jnp.zeros(n_dof, dtype))
 
     # Efficient-hybrid initial guess X0 = Q B (setUpLevel2,
     # geneo.cpp:1601-1604); the caller must run the Krylov solver with
     # nonzero initial guess (contract at hdr/geneo.hpp:21-23).
-    if opts.eff_hybrid and b is not None:
-        import dataclasses
-        pc = dataclasses.replace(pc, x0=pc.apply_q(b))
     return pc, stats

@@ -110,7 +110,15 @@ def solve_assembled(assembled: AssembledProblem,
     timers.add("ksp_setup", time.perf_counter() - t0)
 
     # --- Krylov solve, fully jit-compiled ---
-    matvec = batch.matvec
+    # the hot path uses the accelerator-resident copy of the operator
+    # (setup uploads it; on CPU backends this is the same object)
+    if pc_type == "geneo":
+        op_batch = pc.batch
+    elif jax.default_backend() != "cpu":
+        op_batch = jax.device_put(batch, jax.devices()[0])
+    else:
+        op_batch = batch
+    matvec = op_batch.matvec
     kw = dict(rtol=ksp.rtol, atol=ksp.atol, dtol=ksp.dtol,
               max_it=ksp.max_it, norm_type=ksp.norm_type)
 
