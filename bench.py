@@ -76,7 +76,10 @@ def main():
     t0 = time.perf_counter()
     opts = GenEOOptions()
     opts.lvl1, opts.lvl2 = "ASM", "H1"
-    pc, stats = setup_geneo(ap.batch, opts, decomp=decomp)
+    # MXU fast path: precomputed block inverses (one batched matmul per
+    # local solve); inner-PC rounding is absorbed by the f64 refinement
+    opts.dls1.type = "inverse"
+    pc, stats = setup_geneo(ap.batch, opts, decomp=decomp, a_csr=ap.a_csr)
     jax.block_until_ready(pc.z_loc)
     t_setup = time.perf_counter() - t0
 

@@ -46,7 +46,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["gids", "mask", "mult", "a_neu", "a_dir"],
+         data_fields=["gids", "mask", "mult", "a_neu", "a_dir",
+                      "scatter_perm", "sorted_gids"],
          meta_fields=["n_dof", "n_dom", "n_max", "axis"])
 @dataclass(frozen=True)
 class SubdomainBatch:
@@ -66,6 +67,12 @@ class SubdomainBatch:
     mult: jax.Array   # [n_dom, n_max] dtype, pad = 1
     a_neu: jax.Array  # [n_dom, n_max, n_max] weighted local Neumann blocks
     a_dir: jax.Array  # [n_dom, n_max, n_max] Dirichlet blocks
+    # Optional sorted-scatter acceleration (single-device path): a static
+    # permutation sorting the flattened gids, so the scatter-add runs as a
+    # gather + sorted segment-sum (TPU scatters on unsorted indices are
+    # serialized; sorted segment sums vectorize).
+    scatter_perm: jax.Array | None = None   # [n_dom*n_max] int32
+    sorted_gids: jax.Array | None = None    # [n_dom*n_max] int32 ascending
     axis: str | None = None
 
     @property
@@ -84,8 +91,14 @@ class SubdomainBatch:
         """Local copies [n_dom, n_max] -> global sum [n_dof]
         (VecScatter reverse/ADD, src/geneo.cpp:1871-1900)."""
         flat = jnp.where(self.mask, xl, 0).ravel()
-        y = jax.ops.segment_sum(flat, self.gids.ravel(),
-                                num_segments=self.n_dof + 1)[:-1]
+        if self.scatter_perm is not None and self.axis is None:
+            y = jax.ops.segment_sum(flat[self.scatter_perm],
+                                    self.sorted_gids,
+                                    num_segments=self.n_dof + 1,
+                                    indices_are_sorted=True)[:-1]
+        else:
+            y = jax.ops.segment_sum(flat, self.gids.ravel(),
+                                    num_segments=self.n_dof + 1)[:-1]
         if self.axis is not None:
             y = jax.lax.psum(y, self.axis)
         return y
@@ -229,11 +242,14 @@ def assemble(mesh: ElementMesh, decomp: Decomposition,
     # avoided entirely (pathologically slow on tunneled TPU platforms).
     cpu = jax.devices("cpu")[0]
     put = lambda x: jax.device_put(x, cpu)
+    perm = np.argsort(gids.ravel(), kind="stable").astype(np.int32)
+    sorted_gids = gids.ravel()[perm]
     batch = SubdomainBatch(
         n_dof=n_dof, n_dom=n_dom, n_max=n_max,
         gids=put(gids), mask=put(mask),
         mult=put(mult.astype(np_dtype)), a_neu=put(a_neu.astype(np_dtype)),
-        a_dir=put(a_dir.astype(np_dtype)))
+        a_dir=put(a_dir.astype(np_dtype)),
+        scatter_perm=put(perm), sorted_gids=put(sorted_gids))
     return AssembledProblem(mesh=mesh, decomp=decomp, batch=batch,
                             a_csr=a_csr, nnz_loc=nnz_loc)
 

@@ -237,6 +237,12 @@ def run(argv: list[str], out=sys.stdout) -> int:
     if check:
         run_checks(ap, res.pc, pc_type)
 
+    if dbg_level >= 1 and pc_type == "geneo":
+        from .utils import debug as dbg
+        dbg.dump_timing(timers)
+        if dbg_level >= 2:
+            dbg.dump_setup(res.pc, res.stats, decomp=decomp)
+
     if drv.verbose >= 1:
         print(pf.format_vec(res.x, drv.n_parts, "X").replace(
             "The vector X is:", "The solution X is:"), file=out)

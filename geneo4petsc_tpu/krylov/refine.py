@@ -37,13 +37,14 @@ def make_inner_solver(matvec32: Callable, pc_apply32: Callable | None,
                       ksp_type: str = "cg") -> Callable:
     """Build (and jit once) the inner f32 Krylov correction solver; reuse
     it across refined_solve calls to amortize compilation."""
+    del inner_rtol  # the per-call rtol is a traced argument (adaptivity)
     if ksp_type == "cg":
-        def inner(r32):
-            return cg_solve(matvec32, r32, pc_apply32, rtol=inner_rtol,
+        def inner(r32, rtol):
+            return cg_solve(matvec32, r32, pc_apply32, rtol=rtol,
                             max_it=inner_max_it)
     else:
-        def inner(r32):
-            return gmres_solve(matvec32, r32, pc_apply32, rtol=inner_rtol,
+        def inner(r32, rtol):
+            return gmres_solve(matvec32, r32, pc_apply32, rtol=rtol,
                                max_it=inner_max_it)
     return jax.jit(inner)
 
@@ -81,7 +82,12 @@ def refined_solve(matvec32: Callable, pc_apply32: Callable | None,
         if rel <= tol:
             converged = True
             break
-        res = inner_j(jnp.asarray(r, jnp.float32))
+        # adaptive inner tolerance: only ask the f32 solve for the reduction
+        # still needed (with safety margin), floored at the f32-roundoff
+        # limit — avoids re-converging to the floor on every outer pass
+        need = 0.3 * tol / rel
+        rtol_k = float(np.clip(need, inner_rtol, 0.499))
+        res = inner_j(jnp.asarray(r, jnp.float32), jnp.float32(rtol_k))
         inner_total += int(res.its)
         x = x + np.asarray(res.x, np.float64)
     else:

@@ -43,7 +43,8 @@ def _pad_domains(batch: SubdomainBatch, n_dom_padded: int) -> SubdomainBatch:
     """Pad the domain axis with inert empty domains (all-pad slots)."""
     extra = n_dom_padded - batch.n_dom
     if extra == 0:
-        return batch
+        return dataclasses.replace(batch, scatter_perm=None,
+                                   sorted_gids=None)
     def pad(x, fill):
         pad_block = jnp.full((extra,) + x.shape[1:], fill, x.dtype)
         return jnp.concatenate([x, pad_block], axis=0)
@@ -56,13 +57,18 @@ def _pad_domains(batch: SubdomainBatch, n_dom_padded: int) -> SubdomainBatch:
         mask=pad(batch.mask, False),
         mult=pad(batch.mult, 1),
         a_neu=jnp.concatenate([batch.a_neu, eye], axis=0),
-        a_dir=jnp.concatenate([batch.a_dir, eye], axis=0))
+        a_dir=jnp.concatenate([batch.a_dir, eye], axis=0),
+        scatter_perm=None, sorted_gids=None)
 
 
 def _batch_specs(batch: SubdomainBatch, axis: str) -> SubdomainBatch:
-    """Spec pytree with the same treedef (meta) as `batch`, P(axis) leaves."""
+    """Spec pytree with the same treedef (meta) as `batch`, P(axis) leaves.
+
+    The sorted-scatter helper fields are dropped under sharding (their
+    flat-index values are only meaningful on an unsharded batch)."""
     return dataclasses.replace(batch, gids=P(axis), mask=P(axis),
-                               mult=P(axis), a_neu=P(axis), a_dir=P(axis))
+                               mult=P(axis), a_neu=P(axis), a_dir=P(axis),
+                               scatter_perm=None, sorted_gids=None)
 
 
 def shard_batch(batch: SubdomainBatch, mesh: Mesh, axis: str = "dom"
@@ -79,7 +85,8 @@ def shard_batch(batch: SubdomainBatch, mesh: Mesh, axis: str = "dom"
         mask=jax.device_put(batch.mask, sharding),
         mult=jax.device_put(batch.mult, sharding),
         a_neu=jax.device_put(batch.a_neu, sharding),
-        a_dir=jax.device_put(batch.a_dir, sharding))
+        a_dir=jax.device_put(batch.a_dir, sharding),
+        scatter_perm=None, sorted_gids=None)
 
 
 def sharded_matvec(batch: SubdomainBatch, mesh: Mesh, axis: str = "dom"):

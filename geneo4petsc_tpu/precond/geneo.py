@@ -54,7 +54,7 @@ class GenEOStats:
          data_fields=["batch", "l1_factor", "pou", "z_loc", "colids",
                       "e_evecs", "e_eig_inv", "x0"],
          meta_fields=["lvl1", "lvl2", "hybrid", "eff_hybrid", "dim_e",
-                      "k_max"])
+                      "k_max", "l1_kind"])
 @dataclass(frozen=True)
 class GenEOPreconditioner:
     """Immutable setup product; ``apply`` is the hot per-iteration path."""
@@ -66,6 +66,12 @@ class GenEOPreconditioner:
     eff_hybrid: bool
     dim_e: int         # total coarse-space dimension (0 if lvl2 == 0)
     k_max: int         # max per-domain coarse columns (padded)
+    # "chol": l1_factor holds Cholesky factors (two batched triangular
+    # solves per apply — bit-matches the reference's direct-solve route).
+    # "inv": l1_factor holds precomputed block inverses; the local solve
+    # becomes ONE batched matmul on the MXU (the TPU speed-of-light route;
+    # inner-PC accuracy loss is absorbed by the f64 refinement loop).
+    l1_kind: str
     # --- data ---
     batch: SubdomainBatch
     l1_factor: jax.Array       # [d, n, n] Cholesky of Dirichlet/Robin blocks
@@ -104,7 +110,11 @@ class GenEOPreconditioner:
         xl = self.batch.gather(x)
         if self.lvl1 in ("RAS", "SRAS", "ORAS", "SORAS"):
             xl = xl * self.pou                          # (1.29) of R1
-        xl = bl.cholesky_solve(self.l1_factor, xl)
+        if self.l1_kind == "inv":
+            xl = jnp.einsum("dij,dj->di", self.l1_factor, xl,
+                            preferred_element_type=xl.dtype)
+        else:
+            xl = bl.cholesky_solve(self.l1_factor, xl)
         if self.lvl1 in ("SRAS", "SORAS"):
             xl = xl * self.pou
         return self.batch.scatter_add(xl)
@@ -226,7 +236,7 @@ def _select_columns(w: np.ndarray, kind: str, thr: np.ndarray,
 
 def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
                 b: jax.Array | None = None,
-                decomp=None, timers=None
+                decomp=None, timers=None, a_csr=None
                 ) -> tuple[GenEOPreconditioner, GenEOStats]:
     """Full preconditioner setup (PCSetUp -> setUpGenEOPC path).
 
@@ -249,19 +259,41 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
         if next(iter(batch.gids.devices())).platform != "cpu":
             batch = jax.device_put(batch, cpu)  # slow pull; assemble on host
         with jax.default_device(cpu):
-            pc, stats = _setup_geneo_impl(batch, opts, decomp, timers)
+            pc, stats = _setup_geneo_impl(batch, opts, decomp, timers, a_csr)
         pc = jax.device_put(pc, dev)  # single host->device upload
         if opts.eff_hybrid and b is not None:
             pc = dataclasses.replace(pc, x0=pc.apply_q(b))
         return pc, stats
-    pc, stats = _setup_geneo_impl(batch, opts, decomp, timers)
+    pc, stats = _setup_geneo_impl(batch, opts, decomp, timers, a_csr)
     if opts.eff_hybrid and b is not None:
         pc = dataclasses.replace(pc, x0=pc.apply_q(b))
     return pc, stats
 
 
+def _assembled_csr_from_batch(batch: SubdomainBatch, n_real):
+    """Host assembled operator from the unassembled blocks (MatIS -> AIJ
+    conversion, the setUpGenEOPC MatConvert at geneo.cpp:1692)."""
+    import scipy.sparse as _sp
+    gids = np.asarray(batch.gids)
+    a = np.asarray(batch.a_neu, np.float64)
+    rows, cols, vals = [], [], []
+    for p in range(batch.n_dom):
+        k = int(n_real[p])
+        if not k:
+            continue
+        g = gids[p, :k]
+        rows.append(np.repeat(g, k))
+        cols.append(np.tile(g, k))
+        vals.append(a[p, :k, :k].ravel())
+    m = _sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(batch.n_dof, batch.n_dof)).tocsr()
+    m.sum_duplicates()
+    return m
+
+
 def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
-                      decomp=None, timers=None
+                      decomp=None, timers=None, a_csr=None
                       ) -> tuple[GenEOPreconditioner, GenEOStats]:
     import os as _os
     import sys as _sys
@@ -294,8 +326,14 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     else:
         m_blocks = batch.a_dir                       # (1.30) of R1
     _vlog("factoring L1 blocks")
-    l1_factor = bl.cholesky_factor(m_blocks)
-    l1_factor.block_until_ready()
+    l1_kind = "inv" if opts.dls1.type == "inverse" else "chol"
+    if l1_kind == "inv":
+        # precomputed block inverses (host LAPACK, f64), the MXU fast path
+        l1_factor = jnp.asarray(
+            np.linalg.inv(np.asarray(m_blocks, np.float64)), dtype)
+    else:
+        l1_factor = bl.cholesky_factor(m_blocks)
+        l1_factor.block_until_ready()
     _t = _mark("l1_minv", _t)
     _vlog("L1 factored")
 
@@ -311,9 +349,9 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     if opts.lvl2_num == 0:
         pc = GenEOPreconditioner(
             lvl1=opts.lvl1, lvl2=0, hybrid=False, eff_hybrid=False,
-            dim_e=0, k_max=0, batch=batch, l1_factor=l1_factor,
-            pou=pou, z_loc=None, colids=None, e_evecs=None,
-            e_eig_inv=None, x0=jnp.zeros(n_dof, dtype))
+            dim_e=0, k_max=0, l1_kind=l1_kind, batch=batch,
+            l1_factor=l1_factor, pou=pou, z_loc=None, colids=None,
+            e_evecs=None, e_eig_inv=None, x0=jnp.zeros(n_dof, dtype))
         return pc, stats
 
     # ----- level 2: batched local generalized eigenproblems -----
@@ -423,24 +461,29 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     z_loc = jnp.asarray(z_np, dtype)
     colids = jnp.asarray(colids_np)
 
-    # Global coarse basis (createZE2G role) and E = Z^T A Z (createEEig,
-    # MatPtAP at geneo.cpp:1033): Zg assembled by scatter-add of the local
-    # D-weighted columns, E via K global matvecs through the unassembled
-    # blocks, then a replicated dense LU (the TPU-idiomatic inversion of
-    # rank-0 offload).
+    # Global coarse basis (createZE2G role) and E = Z^T A Z (createEEig):
+    # sparse PtAP on the host — the exact analogue of the reference's
+    # MatPtAP (geneo.cpp:1033), since Z's columns are supported only on
+    # their own domain.  The factorization is then replicated on every
+    # device (the TPU-idiomatic inversion of rank-0 offload).
+    import scipy.sparse as _sp
     gids_np = np.asarray(batch.gids)
-    zg = np.zeros((n_dof, dim_e), dtype=np.float64)
+    rows, cols_i, vals = [], [], []
     for p in range(n_dom):
         k = int(n_real[p])
-        if counts[p]:
-            zg[gids_np[p, :k], offsets[p]:offsets[p] + counts[p]] += \
-                z_np[p, :k, :counts[p]]
-    zg_j = jnp.asarray(zg, dtype)
-    az = jax.vmap(lambda col: SubdomainBatch.matvec(batch, col),
-                  in_axes=1, out_axes=1)(zg_j)
+        for j in range(int(counts[p])):
+            rows.append(gids_np[p, :k])
+            cols_i.append(np.full(k, offsets[p] + j, np.int64))
+            vals.append(z_np[p, :k, j])
+    zg_sp = _sp.coo_matrix(
+        (np.concatenate(vals) if vals else np.zeros(0),
+         (np.concatenate(rows) if rows else np.zeros(0, np.int64),
+          np.concatenate(cols_i) if cols_i else np.zeros(0, np.int64))),
+        shape=(n_dof, dim_e)).tocsr()
+    a_sp = _assembled_csr_from_batch(batch, n_real) if a_csr is None else a_csr
     _vlog("building E")
     _t = _mark("l2_z", _t)
-    e = zg_j.T @ az
+    e = np.asarray((zg_sp.T @ (a_sp @ zg_sp)).todense())
     e = 0.5 * (e + e.T)
     ew, ev = bl.host_eigh(e)
     # round-trip through host numpy so the factors land on the default
@@ -456,7 +499,7 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     pc = GenEOPreconditioner(
         lvl1=opts.lvl1, lvl2=opts.lvl2_num, hybrid=opts.hybrid,
         eff_hybrid=opts.eff_hybrid, dim_e=dim_e, k_max=k_max,
-        batch=batch, l1_factor=l1_factor, pou=pou,
+        l1_kind=l1_kind, batch=batch, l1_factor=l1_factor, pou=pou,
         z_loc=z_loc, colids=colids, e_evecs=ev,
         e_eig_inv=e_eig_inv, x0=jnp.zeros(n_dof, dtype))
 

@@ -89,7 +89,8 @@ def solve_assembled(assembled: AssembledProblem,
     info_l2 = ""
     if pc_type == "geneo":
         pc, stats = setup_geneo(batch, geneo, b=b_j,
-                                decomp=assembled.decomp)
+                                decomp=assembled.decomp, timers=timers,
+                                a_csr=assembled.a_csr)
         jax.block_until_ready(pc.l1_factor)
         pc_apply = pc.apply
         pc_name = geneo.name

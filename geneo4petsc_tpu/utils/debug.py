@@ -1,0 +1,85 @@
+"""-geneo_dbg debug-file subsystem (reference: per-rank `debug<rank>.*`
+files dumping ADir/ANeu/ARob, DADirD, eigenvalues, Z, E, DOF maps and
+intersections — SURVEY.md §5.5, geneo.cpp:2501-2506 naming).
+
+The TPU build writes the same taxonomy, one file per domain with
+zero-padded domain ids in the name, plus global Z/E files.  Level 1 dumps
+timings; level 2 dumps full setup artifacts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fname(prefix: str, p: int, n_dom: int, suffix: str) -> str:
+    width = len(str(n_dom))
+    return f"{prefix}{p:0{width}d}.{suffix}"
+
+
+def dump_setup(pc, stats, decomp=None, prefix: str = "debug",
+               level: int = 2) -> None:
+    """Write per-domain setup artifacts (called when -geneo_dbg D >= 2)."""
+    if level < 2:
+        return
+    batch = pc.batch
+    n_dom = batch.n_dom
+    mask = np.asarray(batch.mask)
+    gids = np.asarray(batch.gids)
+    mult = np.asarray(batch.mult)
+    a_neu = np.asarray(batch.a_neu, np.float64)
+    a_dir = np.asarray(batch.a_dir, np.float64)
+
+    for p in range(n_dom):
+        k = int(mask[p].sum())
+        np.savetxt(_fname(prefix, p, n_dom, "setup.ANeu.log"),
+                   a_neu[p, :k, :k], fmt="%.12g")
+        np.savetxt(_fname(prefix, p, n_dom, "setup.ADir.log"),
+                   a_dir[p, :k, :k], fmt="%.12g")
+        with open(_fname(prefix, p, n_dom, "input.dof.log"), "w") as f:
+            for i in range(k):
+                f.write(f"DOF {i}: global index {gids[p, i]}, "
+                        f"multiplicity {int(mult[p, i])}\n")
+
+    if pc.z_loc is not None:
+        z = np.asarray(pc.z_loc, np.float64)
+        colids = np.asarray(pc.colids)
+        for p in range(n_dom):
+            k = int(mask[p].sum())
+            nc = int((colids[p] < pc.dim_e).sum())
+            np.savetxt(_fname(prefix, p, n_dom, "setup.Z.log"),
+                       z[p, :k, :nc] if nc else np.zeros((k, 0)),
+                       fmt="%.12g")
+            if stats is not None and p < len(stats.eigenvalues):
+                with open(_fname(prefix, p, n_dom, "setup.tau.ev.log"),
+                          "w") as f:
+                    evs = stats.eigenvalues[p]
+                    f.write(f"nb of eigen values added to Z: {len(evs)}\n")
+                    for i, ev in enumerate(evs):
+                        f.write(f"eigen value {i} added to Z: {ev:g}\n")
+        if pc.e_evecs is not None:
+            ew_inv = np.asarray(pc.e_eig_inv, np.float64)
+            with open(f"{prefix}.setup.E.eig.log", "w") as f:
+                f.write(f"dim E: {pc.dim_e}\n")
+                nz = int((ew_inv > 0).sum())
+                f.write(f"numerical rank: {nz}\n")
+
+    if decomp is not None:
+        for p in range(n_dom):
+            with open(_fname(prefix, p, n_dom, "input.intersect.log"),
+                      "w") as f:
+                for q in range(decomp.n_dom):
+                    if p == q:
+                        continue
+                    for loc in decomp.intersections[p][q]:
+                        gid = decomp.dom_nodes[p][loc]
+                        f.write(f"domains {p} and {q} intersect in global "
+                                f"index {gid} (local index {loc})\n")
+
+
+def dump_timing(timers, prefix: str = "debug") -> None:
+    """Per-run timing dump (destroyGenEOPC writes debug*.timing.log when
+    -geneo_dbg >= 1, geneo.cpp:2189-2215)."""
+    with open(f"{prefix}.timing.log", "w") as f:
+        for name, val in sorted(timers.phases.items()):
+            f.write(f"{name}: {val:.5f} s\n")
