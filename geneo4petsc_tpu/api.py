@@ -136,9 +136,12 @@ def geneo_solve(batch: SubdomainBatch, b: np.ndarray,
     op = pc.batch  # accelerator-resident copy from setup
     b_j = jnp.asarray(b, op.a_neu.dtype)
     kw = dict(rtol=ksp.rtol, atol=ksp.atol, dtol=ksp.dtol, max_it=ksp.max_it)
+    # pc passed as a traced argument (constants would be folded at compile)
     if ksp.type == "cg":
-        fn = lambda bb: cg_solve(op.matvec, bb, pc.apply, x0=pc.x0, **kw)
+        fn = lambda pc_a, bb: cg_solve(pc_a.batch.matvec, bb, pc_a.apply,
+                                       x0=pc_a.x0, **kw)
     else:
-        fn = lambda bb: gmres_solve(op.matvec, bb, pc.apply, x0=pc.x0,
-                                    restart=ksp.restart, **kw)
-    return jax.jit(fn)(b_j)
+        fn = lambda pc_a, bb: gmres_solve(pc_a.batch.matvec, bb, pc_a.apply,
+                                          x0=pc_a.x0, restart=ksp.restart,
+                                          **kw)
+    return jax.jit(fn)(pc, b_j)

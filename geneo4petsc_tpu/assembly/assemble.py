@@ -147,37 +147,100 @@ def _group_elems_by_size(mesh: ElementMesh):
 
 def _local_triplets(mesh: ElementMesh, decomp: Decomposition, p: int,
                     groups=None):
-    """(li, lj, val, nnz) triplets of domain p's weighted Neumann block,
-    vectorized over elements (grouped by element size)."""
+    """(li, lj, w_vals, nnz) triplets of domain p's WEIGHTED Neumann block
+    (element sub-matrices scaled by 1/elemMult — the MatIS local block),
+    vectorized over elements grouped by size."""
     nodes = decomp.dom_nodes[p]
     elems = decomp.elem_doms[p]
     if groups is None:
         groups = _group_elems_by_size(mesh)
-    in_dom = np.zeros(mesh.n_elems, dtype=bool)
-    in_dom[elems] = True
-    lis, ljs, vals = [], [], []
-    keys = []
+    lis, ljs, wvals, keys = [], [], [], []
     nmax = len(nodes) + 1
     for k, (e_ids, idx, mats) in groups.items():
-        sel = in_dom[e_ids]
-        if not sel.any():
+        # this size-group's members of the domain (both lists sorted)
+        loc = np.searchsorted(e_ids, elems)
+        ok = loc < len(e_ids)
+        loc = loc[ok]
+        gsel = loc[e_ids[loc] == elems[ok]]
+        if not len(gsel):
             continue
-        gdofs = idx[sel]                       # [ne, k]
-        lidx = np.searchsorted(nodes, gdofs)   # [ne, k]
-        w = 1.0 / decomp.elem_mult[e_ids[sel]]
-        m = mats[sel] * w[:, None, None]
-        li = np.repeat(lidx, k, axis=1)        # [ne, k*k] row-major pairs
-        lj = np.tile(lidx, (1, k))
-        lis.append(li.ravel())
-        ljs.append(lj.ravel())
-        vals.append(m.reshape(len(gdofs), -1).ravel())
-        keys.append((li.astype(np.int64) * nmax + lj).ravel())
+        gdofs = idx[gsel]                       # [ne, k]
+        lidx = np.searchsorted(nodes, gdofs)    # members: all nodes in dom
+        w = 1.0 / decomp.elem_mult[e_ids[gsel]]
+        flat_m = mats[gsel].reshape(len(gsel), -1)
+        li = np.repeat(lidx, k, axis=1).ravel()   # row-major (i, j) pairs
+        lj = np.tile(lidx, (1, k)).ravel()
+        lis.append(li)
+        ljs.append(lj)
+        wvals.append((flat_m * w[:, None]).ravel())
+        keys.append(li.astype(np.int64) * nmax + lj)
     if lis:
         nnz = len(np.unique(np.concatenate(keys)))
         return (np.concatenate(lis), np.concatenate(ljs),
-                np.concatenate(vals), nnz)
-    return (np.zeros(0, np.int64), np.zeros(0, np.int64),
-            np.zeros(0, np.float64), 0)
+                np.concatenate(wvals), nnz)
+    z = np.zeros(0, np.int64)
+    return (z, z, np.zeros(0, np.float64), 0)
+
+
+def _extract_dirichlet_all(a_csr: sp.csr_matrix, decomp: Decomposition):
+    """All Dirichlet blocks at once: for every assembled entry A_ij, emit
+    (dom, li, lj, val) for every domain containing BOTH i and j — the
+    vectorized equivalent of per-domain MatCreateSubMatrices
+    (setUpGenEOPC, geneo.cpp:1697-1705), O(nnz * avg_mult * log)."""
+    n = a_csr.shape[0]
+    coo = a_csr.tocoo()
+    rows, cols, vals = (coo.row.astype(np.int64),
+                        coo.col.astype(np.int64), coo.data)
+
+    # (dom, node) -> local index lookup via one sorted key array
+    dom_sizes = decomp.dom_sizes
+    dom_starts = np.zeros(decomp.n_dom + 1, np.int64)
+    np.cumsum(dom_sizes, out=dom_starts[1:])
+    all_keys = np.concatenate(
+        [p * n + decomp.dom_nodes[p] for p in range(decomp.n_dom)]) \
+        if decomp.n_dom else np.zeros(0, np.int64)
+
+    def lookup(doms, nodes_q):
+        """local index of nodes_q in domains doms, -1 if absent."""
+        key = doms * n + nodes_q
+        pos = np.searchsorted(all_keys, key)
+        pos = np.minimum(pos, len(all_keys) - 1)
+        hit = all_keys[pos] == key
+        return np.where(hit, pos - dom_starts[doms], -1), hit
+
+    # node -> domains incidence (sorted by node)
+    node_doms_node = np.concatenate(
+        [decomp.dom_nodes[p] for p in range(decomp.n_dom)])
+    node_doms_dom = np.concatenate(
+        [np.full(len(decomp.dom_nodes[p]), p, np.int64)
+         for p in range(decomp.n_dom)])
+    order = np.argsort(node_doms_node, kind="stable")
+    nd_node = node_doms_node[order]
+    nd_dom = node_doms_dom[order]
+    nd_start = np.searchsorted(nd_node, np.arange(n + 1))
+
+    # expand each entry over the domains of its ROW node
+    reps = (nd_start[rows + 1] - nd_start[rows]).astype(np.int64)
+    e_ids = np.repeat(np.arange(len(rows)), reps)
+    offs = _ranges(reps)
+    doms = nd_dom[nd_start[rows].repeat(reps) + offs]
+    li, _ = lookup(doms, rows[e_ids])
+    lj, hit_j = lookup(doms, cols[e_ids])
+    keep = hit_j
+    return doms[keep], li[keep], lj[keep], vals[e_ids][keep]
+
+
+def _ranges(sizes: np.ndarray) -> np.ndarray:
+    """[0..s0-1, 0..s1-1, ...] for a vector of sizes."""
+    total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    ends = np.cumsum(sizes)[:-1]
+    valid = ends < total
+    out[ends[valid]] = 1 - sizes[:-1][valid]
+    return np.cumsum(out)
 
 
 def assemble_global_csr(mesh: ElementMesh, groups=None) -> sp.csr_matrix:
@@ -211,8 +274,9 @@ def assemble(mesh: ElementMesh, decomp: Decomposition,
     gids = np.full((n_dom, n_max), n_dof, dtype=np.int32)
     mask = np.zeros((n_dom, n_max), dtype=bool)
     mult = np.ones((n_dom, n_max), dtype=np_dtype)
-    a_neu = np.tile(np.eye(n_max, dtype=np_dtype), (n_dom, 1, 1))
-    a_dir = np.tile(np.eye(n_max, dtype=np_dtype), (n_dom, 1, 1))
+    a_neu = np.zeros((n_dom, n_max, n_max), dtype=np_dtype)
+    a_dir = np.zeros((n_dom, n_max, n_max), dtype=np_dtype)
+    diag = np.arange(n_max)
 
     groups = _group_elems_by_size(mesh)
     a_csr = assemble_global_csr(mesh, groups)
@@ -226,14 +290,17 @@ def assemble(mesh: ElementMesh, decomp: Decomposition,
         gids[p, :k] = nodes
         mask[p, :k] = True
         mult[p, :k] = decomp.node_mult[nodes]
-        li, lj, vals, nnz = _local_triplets(mesh, decomp, p, groups)
+        li, lj, wvals, nnz = _local_triplets(mesh, decomp, p, groups)
         nnz_loc[p] = nnz
-        blk = np.zeros((n_max, n_max), dtype=np.float64)
-        np.add.at(blk, (li, lj), vals)
-        blk[k:, k:] = np.eye(n_max - k)
-        a_neu[p] = blk.astype(np_dtype)
-        dirb = np.asarray(a_csr[np.ix_(nodes, nodes)].todense())
-        a_dir[p, :k, :k] = dirb.astype(np_dtype)
+        np.add.at(a_neu[p], (li, lj), wvals.astype(np_dtype))
+        a_neu[p, diag[k:], diag[k:]] = 1.0
+
+    # all Dirichlet blocks in one vectorized pass over the assembled entries
+    d_dom, d_li, d_lj, d_val = _extract_dirichlet_all(a_csr, decomp)
+    a_dir[d_dom, d_li, d_lj] = d_val.astype(np_dtype)
+    for p in range(n_dom):
+        k = len(decomp.dom_nodes[p])
+        a_dir[p, diag[k:], diag[k:]] = 1.0
 
     # The batch is created on the HOST (CPU backend): setup consumes it
     # there (the reference's setup is CPU-side: ARPACK/MUMPS/LAPACK), and

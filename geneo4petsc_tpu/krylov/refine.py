@@ -49,6 +49,28 @@ def make_inner_solver(matvec32: Callable, pc_apply32: Callable | None,
     return jax.jit(inner)
 
 
+def make_pc_inner_solver(pc, inner_max_it: int = 2000,
+                         ksp_type: str = "cg"):
+    """Inner solver with the preconditioner passed as a traced jit ARGUMENT.
+
+    Closing a jit over the preconditioner pytree embeds its arrays as
+    constants, which XLA then constant-folds — compile time blows up with
+    operator size (catastrophic on tunneled TPU compile services).  Keeping
+    the pytree an argument compiles shape-polymorphically in seconds and
+    lets one executable serve any same-shape operator."""
+    if ksp_type == "cg":
+        @jax.jit
+        def inner(pc_a, r32, rtol):
+            return cg_solve(pc_a.batch.matvec, r32, pc_a.apply, rtol=rtol,
+                            max_it=inner_max_it)
+    else:
+        @jax.jit
+        def inner(pc_a, r32, rtol):
+            return gmres_solve(pc_a.batch.matvec, r32, pc_a.apply,
+                               rtol=rtol, max_it=inner_max_it)
+    return lambda r32, rtol: inner(pc, r32, rtol)
+
+
 def refined_solve(matvec32: Callable, pc_apply32: Callable | None,
                   b: np.ndarray,
                   residual64: Callable[[np.ndarray], np.ndarray],

@@ -390,9 +390,44 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
         a_eff = _with_pad_diag(a_p, batch.mask, steer)
         b_eff = b_p  # pad diag stays 1
         _vlog(f"eigensolve ({kind})")
-        w, v = bl.generalized_eigh(a_eff, b_eff)
-        w_np = np.asarray(w, np.float64)
-        v_np = np.asarray(v, np.float64)
+        use_lobpcg = opts.els2.type == "lobpcg" and kind == "tau"
+        if use_lobpcg:
+            # iterative path (the ARPACK-equivalent, SURVEY hard part #1):
+            # batched LOBPCG computing only k = -geneo_cut candidates per
+            # domain.  Requires an explicit cut (like -geneo_no_syl +
+            # krylovschur in the reference, the solver bounds the count).
+            from ..ops.lobpcg import batched_lobpcg
+            k_cand = cut if cut > 0 else 8
+            k_cand = min(k_cand, batch.n_max)
+            max_it = min(int(opts.els2.max_it), 200) \
+                if opts.els2.max_it < 10000 else 50
+            # run on the accelerator when one exists: LOBPCG is pure
+            # batched matmuls + tiny-eigh Rayleigh-Ritz steps — it compiles
+            # in seconds and runs at MXU speed, unlike the full-size dense
+            # eigh (host upload of the pencil is fast; only w/v come back)
+            _dev = jax.devices()[0]
+            if _dev.platform != "cpu":
+                a_host = np.asarray(a_eff, np.float32)
+                b_host = np.asarray(b_eff, np.float32)
+                _vlog("lobpcg: pencils materialized on host")
+                a_run = jax.device_put(a_host, _dev)
+                b_run = jax.device_put(b_host, _dev)
+                a_run.block_until_ready()
+                _vlog("lobpcg: pencils uploaded")
+            else:
+                a_run, b_run = a_eff, b_eff
+            w, v, _res = batched_lobpcg(
+                a_run, b_run, k=k_cand, max_it=max_it,
+                shift=float(np.mean(thr)))
+            w.block_until_ready()
+            _vlog("lobpcg: solve done; pulling eigenpairs")
+            w_np = np.asarray(w, np.float64)       # [d, k_cand]
+            v_np = np.asarray(v, np.float64)       # [d, n_max, k_cand]
+            _vlog("lobpcg: eigenpairs on host")
+        else:
+            w, v = bl.generalized_eigh(a_eff, b_eff)
+            w_np = np.asarray(w, np.float64)
+            v_np = np.asarray(v, np.float64)
         import time as _time2
         if timers is not None:
             dt = _time2.perf_counter() - _t
@@ -400,14 +435,20 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
             timers.add(f"l2_{kind}_eig", dt)
         _t = _time2.perf_counter()
         _vlog(f"selecting ({kind})")
-        keep, estim = _select_columns(w_np, kind, thr, n_real,
-                                      opts.no_syl, cut)
+        if use_lobpcg:
+            # all computed candidates in [0, thr] are kept; no inertia
+            # estimates (stats follow the no_syl reporting convention)
+            keep = [np.where(w_np[p] <= thr[p])[0] for p in range(n_dom)]
+            estim = np.zeros(n_dom, np.int64)
+        else:
+            keep, estim = _select_columns(w_np, kind, thr, n_real,
+                                          opts.no_syl, cut)
         if timers is not None:
             dt = _time2.perf_counter() - _t
             timers.add("l2_syl", dt)
             timers.add(f"l2_{kind}_syl", dt)
         _t = _time2.perf_counter()
-        if not opts.no_syl:
+        if not opts.no_syl and not use_lobpcg:
             stats.estim_dim_e += estim
         a_np = np.asarray(a_p, np.float64)
         b_np = np.asarray(b_p, np.float64)

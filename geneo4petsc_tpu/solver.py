@@ -119,23 +119,30 @@ def solve_assembled(assembled: AssembledProblem,
         op_batch = jax.device_put(batch, jax.devices()[0])
     else:
         op_batch = batch
-    matvec = op_batch.matvec
     kw = dict(rtol=ksp.rtol, atol=ksp.atol, dtol=ksp.dtol,
               max_it=ksp.max_it, norm_type=ksp.norm_type)
 
-    if ksp.type == "cg":
-        def run(bv, x0v):
-            return cg_solve(matvec, bv, pc_apply, x0=x0v, **kw)
-    elif ksp.type == "gmres":
-        def run(bv, x0v):
-            return gmres_solve(matvec, bv, pc_apply, x0=x0v,
-                               restart=ksp.restart, **kw)
-    else:
+    # the operator/PC pytrees are jit ARGUMENTS (closing over them embeds
+    # multi-MB constants that XLA constant-folds — compile blow-up)
+    solver_fn = cg_solve if ksp.type == "cg" else gmres_solve
+    if ksp.type not in ("cg", "gmres"):
         raise ValueError(f"unknown ksp type {ksp.type}")
+    extra = {} if ksp.type == "cg" else {"restart": ksp.restart}
 
-    run_j = jax.jit(run)
+    if pc is not None:
+        def run(op_a, pc_a, bv, x0v):
+            return solver_fn(op_a.matvec, bv, pc_a.apply, x0=x0v,
+                             **extra, **kw)
+        run_j = jax.jit(run)
+        args = (op_batch, pc)
+    else:
+        def run(op_a, bv, x0v):
+            return solver_fn(op_a.matvec, bv, None, x0=x0v, **extra, **kw)
+        run_j = jax.jit(run)
+        args = (op_batch,)
+
     t0 = time.perf_counter()
-    result = run_j(b_j, x0 if x0 is not None else jnp.zeros(n, dtype))
+    result = run_j(*args, b_j, x0 if x0 is not None else jnp.zeros(n, dtype))
     jax.block_until_ready(result.x)
     timers.add("ksp_iterations", time.perf_counter() - t0)
 
