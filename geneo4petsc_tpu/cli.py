@@ -155,6 +155,27 @@ def parse_args(argv: list[str]):
             gen.no_syl = True
         elif a == "-geneo_offload":
             gen.offload = True
+        # --- sub-solver option prefixes (dls1_/els2_/syl2_/dcs2_/ubl2_:
+        # the reference's per-sub-solver namespacing, usageGenEO
+        # geneo.cpp:2292-2299) ---
+        elif a == "-dls1_type":
+            i += 1; gen.dls1.type = need(i, a)
+        elif a == "-els2_type" or a == "-els2_eps_type":
+            i += 1
+            v = need(i, a)
+            gen.els2.type = {"arpack": "eigh", "krylovschur": "lobpcg",
+                             "lapack": "eigh"}.get(v, v)
+        elif a == "-els2_eps_max_it":
+            i += 1; gen.els2.max_it = int(need(i, a))
+        elif a == "-els2_eps_tol":
+            i += 1; gen.els2.rtol = float(need(i, a))
+        elif a.startswith(("-dls1_", "-syl2_", "-els2_", "-dcs2_",
+                           "-ubl2_", "-chks_", "-chkr_", "-A", "-B")):
+            # accepted-and-consumed: solver-implementation tuning knobs of
+            # the reference's backends (mumps/superlu/...) have no TPU
+            # equivalent; consume the value token if one follows
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
         elif a == "-geneo_dbg":
             i += 1
             parts = need(i, a).split(",")

@@ -79,7 +79,8 @@ class GenEOOptions:
     offload: bool = False  # kept for CLI parity; TPU build replicates E instead
     dls1: SubSolverOptions = field(default_factory=SubSolverOptions)
     syl2: SubSolverOptions = field(default_factory=SubSolverOptions)
-    els2: SubSolverOptions = field(default_factory=lambda: SubSolverOptions(rtol=1e-3))
+    els2: SubSolverOptions = field(
+        default_factory=lambda: SubSolverOptions(type="eigh", rtol=1e-3))
     dcs2: SubSolverOptions = field(default_factory=SubSolverOptions)
     ubl2: SubSolverOptions = field(default_factory=SubSolverOptions)
 

@@ -54,7 +54,7 @@ class GenEOStats:
          data_fields=["batch", "l1_factor", "pou", "z_loc", "colids",
                       "e_evecs", "e_eig_inv", "x0"],
          meta_fields=["lvl1", "lvl2", "hybrid", "eff_hybrid", "dim_e",
-                      "k_max", "l1_kind"])
+                      "k_max", "l1_kind", "use_pallas"])
 @dataclass(frozen=True)
 class GenEOPreconditioner:
     """Immutable setup product; ``apply`` is the hot per-iteration path."""
@@ -81,6 +81,9 @@ class GenEOPreconditioner:
     e_evecs: jax.Array | None    # [K, K] eigenvectors of E = Z^T A Z
     e_eig_inv: jax.Array | None  # [K] truncated inverse eigenvalues of E
     x0: jax.Array              # [n_dof] initial guess (Q b if eff-hybrid)
+    # fuse the level-1 inner chain (PoU-weight, block-inverse matmul,
+    # weight, mask) into one Pallas kernel (TPU only, needs l1_kind='inv')
+    use_pallas: bool = False
 
     # ---------------- level 2: Q = Z E^-1 Z^T (applyQ) ----------------
     def apply_q(self, x: jax.Array) -> jax.Array:
@@ -108,14 +111,22 @@ class GenEOPreconditioner:
     # ---------------- level 1 (applyLevel1) ----------------
     def _local_solve(self, x: jax.Array) -> jax.Array:
         xl = self.batch.gather(x)
-        if self.lvl1 in ("RAS", "SRAS", "ORAS", "SORAS"):
+        ras = self.lvl1 in ("RAS", "SRAS", "ORAS", "SORAS")
+        sras = self.lvl1 in ("SRAS", "SORAS")
+        if self.l1_kind == "inv" and self.use_pallas:
+            from ..ops.pallas_kernels import fused_local_solve
+            d = self.pou if self.pou is not None else jnp.ones_like(xl)
+            xl = fused_local_solve(self.l1_factor, d, self.batch.mask, xl,
+                                   pre=ras, post=sras)
+            return self.batch.scatter_add(xl)
+        if ras:
             xl = xl * self.pou                          # (1.29) of R1
         if self.l1_kind == "inv":
             xl = jnp.einsum("dij,dj->di", self.l1_factor, xl,
                             preferred_element_type=xl.dtype)
         else:
             xl = bl.cholesky_solve(self.l1_factor, xl)
-        if self.lvl1 in ("SRAS", "SORAS"):
+        if sras:
             xl = xl * self.pou
         return self.batch.scatter_add(xl)
 
@@ -326,7 +337,8 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     else:
         m_blocks = batch.a_dir                       # (1.30) of R1
     _vlog("factoring L1 blocks")
-    l1_kind = "inv" if opts.dls1.type == "inverse" else "chol"
+    l1_kind = "inv" if opts.dls1.type in ("inverse", "inverse_pallas") \
+        else "chol"
     if l1_kind == "inv":
         # precomputed block inverses (host LAPACK, f64), the MXU fast path
         l1_factor = jnp.asarray(
@@ -351,7 +363,8 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
             lvl1=opts.lvl1, lvl2=0, hybrid=False, eff_hybrid=False,
             dim_e=0, k_max=0, l1_kind=l1_kind, batch=batch,
             l1_factor=l1_factor, pou=pou, z_loc=None, colids=None,
-            e_evecs=None, e_eig_inv=None, x0=jnp.zeros(n_dof, dtype))
+            e_evecs=None, e_eig_inv=None, x0=jnp.zeros(n_dof, dtype),
+            use_pallas=opts.dls1.type == "inverse_pallas")
         return pc, stats
 
     # ----- level 2: batched local generalized eigenproblems -----
@@ -542,7 +555,8 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
         eff_hybrid=opts.eff_hybrid, dim_e=dim_e, k_max=k_max,
         l1_kind=l1_kind, batch=batch, l1_factor=l1_factor, pou=pou,
         z_loc=z_loc, colids=colids, e_evecs=ev,
-        e_eig_inv=e_eig_inv, x0=jnp.zeros(n_dof, dtype))
+        e_eig_inv=e_eig_inv, x0=jnp.zeros(n_dof, dtype),
+        use_pallas=opts.dls1.type == "inverse_pallas")
 
     # Efficient-hybrid initial guess X0 = Q B (setUpLevel2,
     # geneo.cpp:1601-1604); the caller must run the Krylov solver with

@@ -92,19 +92,16 @@ def solve_assembled(assembled: AssembledProblem,
                                 decomp=assembled.decomp, timers=timers,
                                 a_csr=assembled.a_csr)
         jax.block_until_ready(pc.l1_factor)
-        pc_apply = pc.apply
         pc_name = geneo.name
         x0 = pc.x0
         if geneo.lvl2_num:
-            info_l2 = "eigh cholesky"
+            info_l2 = f"{geneo.els2.type} cholesky"
     elif pc_type == "bjacobi":
         pc = setup_bjacobi(assembled.a_csr, batch.n_dom, dtype=dtype)
         jax.block_until_ready(pc.factor)
-        pc_apply = pc.apply
         pc_name = "bjacobi"
     elif pc_type == "none":
         pc = None
-        pc_apply = None
         pc_name = "none"
     else:
         raise ValueError(f"unknown pc_type {pc_type}")

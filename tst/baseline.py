@@ -78,10 +78,10 @@ def main():
         run_config("4: 3D high-contrast eff-GenEO",
                    "laplacian", "--size#16#--dim#3#--kappa#10000.#minmax",
                    64, "ASM,E1", overlap=2, cut=4),
-        # 5. large SPD sharded solve (reduced-scale stand-in for the
+        # 5. elasticity-style SPD system (reduced-scale stand-in for the
         #    10M-DOF v5p-8 target)
-        run_config("5: large 2D high-contrast (reduced)",
-                   "laplacian", "--size#96#--dim#2#--kappa#10000.#minmax",
+        run_config("5: 2D elasticity high-contrast (reduced)",
+                   "elasticity", "--size#48#--nu#0.3#--kappa#1000.#minmax",
                    64, "ASM,H1"),
     ]
     out_path = sys.argv[sys.argv.index("--out") + 1] \
