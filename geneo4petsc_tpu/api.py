@@ -103,11 +103,14 @@ def make_batch(n_dof: int,
             a_dir[p, :k, :k] = np.asarray(
                 a_global[np.ix_(g, g)].todense())
 
+    perm = np.argsort(gids.ravel(), kind="stable").astype(np.int32)
     return SubdomainBatch(
         n_dof=n_dof, n_dom=n_dom, n_max=n_max,
         gids=jnp.asarray(gids), mask=jnp.asarray(mask),
         mult=jnp.asarray(mult), a_neu=jnp.asarray(a_neu),
-        a_dir=jnp.asarray(a_dir))
+        a_dir=jnp.asarray(a_dir),
+        scatter_perm=jnp.asarray(perm),
+        sorted_gids=jnp.asarray(gids.ravel()[perm]))
 
 
 def geneo_setup(batch: SubdomainBatch,

@@ -57,7 +57,8 @@ def _pad_domains(batch: SubdomainBatch, n_dom_padded: int) -> SubdomainBatch:
         mask=pad(batch.mask, False),
         mult=pad(batch.mult, 1),
         a_neu=jnp.concatenate([batch.a_neu, eye], axis=0),
-        a_dir=jnp.concatenate([batch.a_dir, eye], axis=0),
+        a_dir=None if batch.a_dir is None
+        else jnp.concatenate([batch.a_dir, eye], axis=0),
         scatter_perm=None, sorted_gids=None)
 
 
@@ -67,7 +68,8 @@ def _batch_specs(batch: SubdomainBatch, axis: str) -> SubdomainBatch:
     The sorted-scatter helper fields are dropped under sharding (their
     flat-index values are only meaningful on an unsharded batch)."""
     return dataclasses.replace(batch, gids=P(axis), mask=P(axis),
-                               mult=P(axis), a_neu=P(axis), a_dir=P(axis),
+                               mult=P(axis), a_neu=P(axis),
+                               a_dir=None if batch.a_dir is None else P(axis),
                                scatter_perm=None, sorted_gids=None)
 
 
@@ -85,7 +87,8 @@ def shard_batch(batch: SubdomainBatch, mesh: Mesh, axis: str = "dom"
         mask=jax.device_put(batch.mask, sharding),
         mult=jax.device_put(batch.mult, sharding),
         a_neu=jax.device_put(batch.a_neu, sharding),
-        a_dir=jax.device_put(batch.a_dir, sharding),
+        a_dir=None if batch.a_dir is None
+        else jax.device_put(batch.a_dir, sharding),
         scatter_perm=None, sorted_gids=None)
 
 

@@ -271,6 +271,11 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
             batch = jax.device_put(batch, cpu)  # slow pull; assemble on host
         with jax.default_device(cpu):
             pc, stats = _setup_geneo_impl(batch, opts, decomp, timers, a_csr)
+        # the iteration path never touches the Dirichlet blocks: drop them
+        # from the device copy (1/3 of the upload volume); host callers
+        # keep them via the original batch
+        pc = dataclasses.replace(
+            pc, batch=dataclasses.replace(pc.batch, a_dir=None))
         pc = jax.device_put(pc, dev)  # single host->device upload
         if opts.eff_hybrid and b is not None:
             pc = dataclasses.replace(pc, x0=pc.apply_q(b))

@@ -19,3 +19,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Golden byte-parity tests need the reference checkout mounted."""
+    if os.path.isdir(REFERENCE):
+        return
+    skip = pytest.mark.skip(reason="reference checkout not mounted")
+    for item in items:
+        path = str(getattr(item, "fspath", ""))
+        if "test_cli" in path or "test_input" in path or \
+                "test_geneo" in path:
+            item.add_marker(skip)
