@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from ..config import default_dtype
 from ..io.element_input import ElementMesh
-from ..partition.decompose import Decomposition
+from ..partition.decompose import Decomposition, _ranges
 
 
 def _round_up(x: int, m: int) -> int:
@@ -230,19 +230,6 @@ def _extract_dirichlet_all(a_csr: sp.csr_matrix, decomp: Decomposition):
     return doms[keep], li[keep], lj[keep], vals[e_ids][keep]
 
 
-def _ranges(sizes: np.ndarray) -> np.ndarray:
-    """[0..s0-1, 0..s1-1, ...] for a vector of sizes."""
-    total = int(sizes.sum())
-    if total == 0:
-        return np.zeros(0, np.int64)
-    out = np.ones(total, dtype=np.int64)
-    out[0] = 0
-    ends = np.cumsum(sizes)[:-1]
-    valid = ends < total
-    out[ends[valid]] = 1 - sizes[:-1][valid]
-    return np.cumsum(out)
-
-
 def assemble_global_csr(mesh: ElementMesh, groups=None) -> sp.csr_matrix:
     """Assembled global operator (the MatMPIAIJ view), vectorized."""
     if groups is None:
@@ -293,13 +280,15 @@ def assemble(mesh: ElementMesh, decomp: Decomposition,
         li, lj, wvals, nnz = _local_triplets(mesh, decomp, p, groups)
         nnz_loc[p] = nnz
         np.add.at(a_neu[p], (li, lj), wvals.astype(np_dtype))
-        a_neu[p, diag[k:], diag[k:]] = 1.0
 
     # all Dirichlet blocks in one vectorized pass over the assembled entries
     d_dom, d_li, d_lj, d_val = _extract_dirichlet_all(a_csr, decomp)
     a_dir[d_dom, d_li, d_lj] = d_val.astype(np_dtype)
+    # pad-slot identity diagonal (covers empty domains too — the module's
+    # documented padding invariant)
     for p in range(n_dom):
         k = len(decomp.dom_nodes[p])
+        a_neu[p, diag[k:], diag[k:]] = 1.0
         a_dir[p, diag[k:], diag[k:]] = 1.0
 
     # The batch is created on the HOST (CPU backend): setup consumes it

@@ -186,7 +186,10 @@ def parse_args(argv: list[str]):
             i += 1; need(i, a)
             check = True
         elif a == "-options_left":
-            i += 1; need(i, a)  # consumed, no-op (we never warn)
+            # PETSc accepts both bare '-options_left' and '-options_left no'
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+
         i += 1
 
     if pc_type is None:

@@ -78,7 +78,8 @@ def cg_solve(matvec: Callable, b: jax.Array,
         it = it + 1
         rn = res_norm(r, z2, rz2)
         hist = hist.at[it].set(rn)
-        reason = cm.converged_default(rn, bnorm, it, rtol, atol, dtol, max_it)
+        reason = cm.converged_default(rn, bnorm, it, rtol, atol, dtol,
+                                      max_it, rnorm0=rnorm0)
         reason = jnp.where((pw <= eps0) & (reason == 0),
                            cm.DIVERGED_INDEFINITE_MAT, reason)
         reason = jnp.where((rz2 < eps0) & (reason == 0),

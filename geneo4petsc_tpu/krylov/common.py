@@ -76,16 +76,20 @@ class SolveResult:
         return self.reason >= 0
 
 
-def converged_default(rnorm, bnorm, it, rtol, atol, dtol, max_it):
+def converged_default(rnorm, bnorm, it, rtol, atol, dtol, max_it,
+                      rnorm0=None):
     """KSPConvergedDefault: rnorm <= max(rtol*bnorm, atol) converges (RTOL if
-    the rtol branch is the active bound, else ATOL); rnorm >= dtol*bnorm
-    diverges (DTOL); hitting max_it diverges (ITS).  Returns reason (0 while
-    iterating)."""
+    the rtol branch is the active bound, else ATOL); rnorm >= dtol*rnorm0
+    diverges (DTOL — PETSc scales divtol by the INITIAL residual norm, which
+    differs from bnorm for nonzero initial guesses); hitting max_it diverges
+    (ITS).  Returns reason (0 while iterating)."""
+    if rnorm0 is None:
+        rnorm0 = bnorm
     rtest = rtol * bnorm
     reason = jnp.where(
         rnorm <= jnp.maximum(rtest, atol),
         jnp.where(rtest > atol, CONVERGED_RTOL, CONVERGED_ATOL),
-        jnp.where((rnorm >= dtol * bnorm) & (it > 0), DIVERGED_DTOL,
+        jnp.where((rnorm >= dtol * rnorm0) & (it > 0), DIVERGED_DTOL,
                   CONVERGED_ITERATING))
     reason = jnp.where(jnp.isnan(rnorm) | jnp.isinf(rnorm),
                        DIVERGED_NANORINF, reason)

@@ -44,16 +44,17 @@ def gmres_solve(matvec: Callable, b: jax.Array,
     history0 = jnp.full(max_it + 1, jnp.nan, dtype)
 
     def outer_cond(state):
-        _, _, reason, _, _ = state
+        _, _, reason, _, _, _ = state
         return reason == cm.CONVERGED_ITERATING
 
     def outer_body(state):
-        x, it, reason, rnorm, hist = state
+        x, it, reason, rnorm, hist, rnorm0 = state
         r = pc_apply(b - matvec(x))
         beta = jnp.linalg.norm(r)
+        rnorm0 = jnp.where(it == 0, beta, rnorm0)
         hist = hist.at[it].set(beta)
         reason = cm.converged_default(beta, bnorm, it, rtol, atol, dtol,
-                                      max_it)
+                                      max_it, rnorm0=rnorm0)
 
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(jnp.where(beta > 0, r / beta, 0))
@@ -68,6 +69,7 @@ def gmres_solve(matvec: Callable, b: jax.Array,
 
         def inner_body(istate):
             k, V, H, cs, sn, g, it_, reason_, rnorm_, hist_ = istate
+            del rnorm_
             w = pc_apply(matvec(V[k]))
             wnorm0 = jnp.linalg.norm(w)
             # CGS2: rows of V beyond k are zero so full matmuls are exact
@@ -105,8 +107,8 @@ def gmres_solve(matvec: Callable, b: jax.Array,
             it2 = it_ + 1
             rn = jnp.abs(g2[k + 1])
             hist_ = hist_.at[it2].set(rn)
-            reason2 = cm.converged_default(rn, bnorm, it2, rtol, atol, dtol,
-                                           max_it)
+            reason2 = cm.converged_default(rn, bnorm, it2, rtol, atol,
+                                           dtol, max_it, rnorm0=rnorm0)
             reason2 = jnp.where(happy & (reason2 == cm.CONVERGED_ITERATING),
                                 cm.CONVERGED_HAPPY_BREAKDOWN, reason2)
             return k + 1, V2, H2, cs2, sn2, g2, it2, reason2, rn, hist_
@@ -122,11 +124,12 @@ def gmres_solve(matvec: Callable, b: jax.Array,
         rhs = jnp.where(col_ids < k, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
         x = x + V[:m].T @ y
-        return x, it, reason, rnorm, hist
+        return x, it, reason, rnorm, hist, rnorm0
 
     state0 = (x0, jnp.int32(0), jnp.int32(cm.CONVERGED_ITERATING),
-              jnp.asarray(jnp.inf, dtype), history0)
-    x, it, reason, rnorm, hist = jax.lax.while_loop(
+              jnp.asarray(jnp.inf, dtype), history0,
+              jnp.asarray(jnp.inf, dtype))
+    x, it, reason, rnorm, hist, _ = jax.lax.while_loop(
         outer_cond, outer_body, state0)
     return cm.SolveResult(x=x, its=it, reason=reason, rnorm=rnorm,
                           history=hist)

@@ -24,20 +24,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fused_solve_kernel(pre_flag_ref, post_flag_ref, inv_ref, d_ref,
-                        mask_ref, x_ref, o_ref):
-    """o = mask * (D^post . (Minv @ (D^pre . x))) for one subdomain."""
-    x = x_ref[:]                                  # [1, n]
-    d = d_ref[:]
-    pre = pre_flag_ref[0]
-    post = post_flag_ref[0]
-    x = jnp.where(pre > 0, x * d, x)
-    y = jax.lax.dot_general(
-        x, inv_ref[0],                            # [1, n] x [n, n]
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=x.dtype)
-    y = jnp.where(post > 0, y * d, y)
-    o_ref[:] = jnp.where(mask_ref[:], y, 0.0)
+def _make_fused_kernel(pre: bool, post: bool):
+    """Specialize the kernel on the (static) RAS/SRAS weighting flags."""
+
+    def kernel(inv_ref, d_ref, mask_ref, x_ref, o_ref):
+        """o = mask * (D^post . (Minv @ (D^pre . x))) for one subdomain."""
+        x = x_ref[:]                              # [1, n]
+        if pre:
+            x = x * d_ref[:]
+        y = jax.lax.dot_general(
+            x, inv_ref[0],                        # [1, n] x [n, n]
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype)
+        if post:
+            y = y * d_ref[:]
+        o_ref[:] = jnp.where(mask_ref[:], y, 0.0)
+
+    return kernel
 
 
 @partial(jax.jit, static_argnames=("pre", "post", "interpret"))
@@ -54,15 +57,10 @@ def fused_local_solve(inv: jax.Array, d: jax.Array, mask: jax.Array,
     """
     n_dom, n = xl.shape
     dtype = xl.dtype
-    flags = (jnp.full((1,), 1 if pre else 0, jnp.int32),
-             jnp.full((1,), 1 if post else 0, jnp.int32))
-    grid = (n_dom,)
     return pl.pallas_call(
-        _fused_solve_kernel,
-        grid=grid,
+        _make_fused_kernel(pre, post),
+        grid=(n_dom,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (i, 0),
@@ -76,7 +74,7 @@ def fused_local_solve(inv: jax.Array, d: jax.Array, mask: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_dom, n), dtype),
         interpret=interpret,
-    )(*flags, inv, d, mask, xl)
+    )(inv, d, mask, xl)
 
 
 def _block_matvec_kernel(a_ref, x_ref, o_ref):

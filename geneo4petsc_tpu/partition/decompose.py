@@ -201,12 +201,15 @@ def decompose_nodal_fast(mesh: ElementMesh, node_part: np.ndarray,
 
 
 def _ranges(sizes: np.ndarray) -> np.ndarray:
-    """[0..s0-1, 0..s1-1, ...] for a vector of sizes."""
+    """[0..s0-1, 0..s1-1, ...] for a vector of sizes (zero sizes allowed)."""
     total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
     out = np.ones(total, dtype=np.int64)
     out[0] = 0
     ends = np.cumsum(sizes)[:-1]
-    out[ends] = 1 - sizes[:-1]
+    valid = ends < total
+    out[ends[valid]] = 1 - sizes[:-1][valid]
     return np.cumsum(out)
 
 

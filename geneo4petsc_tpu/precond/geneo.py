@@ -124,6 +124,8 @@ class GenEOPreconditioner:
         if self.l1_kind == "inv":
             xl = jnp.einsum("dij,dj->di", self.l1_factor, xl,
                             preferred_element_type=xl.dtype)
+        elif self.l1_kind == "lu":
+            xl = bl.lu_solve(self.l1_factor, xl)
         else:
             xl = bl.cholesky_solve(self.l1_factor, xl)
         if sras:
@@ -342,12 +344,21 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     else:
         m_blocks = batch.a_dir                       # (1.30) of R1
     _vlog("factoring L1 blocks")
-    l1_kind = "inv" if opts.dls1.type in ("inverse", "inverse_pallas") \
-        else "chol"
+    if opts.dls1.type in ("inverse", "inverse_pallas"):
+        l1_kind = "inv"
+    elif opts.dls1.type == "lu":
+        l1_kind = "lu"
+    else:
+        l1_kind = "chol"
     if l1_kind == "inv":
         # precomputed block inverses (host LAPACK, f64), the MXU fast path
         l1_factor = jnp.asarray(
             np.linalg.inv(np.asarray(m_blocks, np.float64)), dtype)
+    elif l1_kind == "lu":
+        # batched LU with partial pivoting (the reference's MUMPS-LU route;
+        # works for non-SPD user-supplied operators)
+        l1_factor = bl.lu_factor(m_blocks)
+        l1_factor[0].block_until_ready()
     else:
         l1_factor = bl.cholesky_factor(m_blocks)
         l1_factor.block_until_ready()

@@ -24,7 +24,7 @@ from ..assembly.assemble import SubdomainBatch
 from ..precond.geneo import GenEOPreconditioner
 
 _META_KEYS = ("lvl1", "lvl2", "hybrid", "eff_hybrid", "dim_e", "k_max",
-              "l1_kind")
+              "l1_kind", "use_pallas")
 _BATCH_META = ("n_dof", "n_dom", "n_max")
 _BATCH_ARRAYS = ("gids", "mask", "mult", "a_neu", "a_dir",
                  "scatter_perm", "sorted_gids")
@@ -81,7 +81,8 @@ def load_pc(path: str) -> GenEOPreconditioner:
         lvl1=meta["lvl1"], lvl2=int(meta["lvl2"]),
         hybrid=bool(meta["hybrid"]), eff_hybrid=bool(meta["eff_hybrid"]),
         dim_e=int(meta["dim_e"]), k_max=int(meta["k_max"]),
-        l1_kind=meta["l1_kind"], batch=batch,
+        l1_kind=meta["l1_kind"],
+        use_pallas=bool(meta.get("use_pallas", False)), batch=batch,
         l1_factor=arr("pc.l1_factor"), pou=arr("pc.pou"),
         z_loc=arr("pc.z_loc"), colids=arr("pc.colids"),
         e_evecs=arr("pc.e_evecs"), e_eig_inv=arr("pc.e_eig_inv"),

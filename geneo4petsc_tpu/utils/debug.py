@@ -28,14 +28,17 @@ def dump_setup(pc, stats, decomp=None, prefix: str = "debug",
     gids = np.asarray(batch.gids)
     mult = np.asarray(batch.mult)
     a_neu = np.asarray(batch.a_neu, np.float64)
-    a_dir = np.asarray(batch.a_dir, np.float64)
+    # accelerator copies drop the Dirichlet blocks (setup upload trim)
+    a_dir = None if batch.a_dir is None \
+        else np.asarray(batch.a_dir, np.float64)
 
     for p in range(n_dom):
         k = int(mask[p].sum())
         np.savetxt(_fname(prefix, p, n_dom, "setup.ANeu.log"),
                    a_neu[p, :k, :k], fmt="%.12g")
-        np.savetxt(_fname(prefix, p, n_dom, "setup.ADir.log"),
-                   a_dir[p, :k, :k], fmt="%.12g")
+        if a_dir is not None:
+            np.savetxt(_fname(prefix, p, n_dom, "setup.ADir.log"),
+                       a_dir[p, :k, :k], fmt="%.12g")
         with open(_fname(prefix, p, n_dom, "input.dof.log"), "w") as f:
             for i in range(k):
                 f.write(f"DOF {i}: global index {gids[p, i]}, "

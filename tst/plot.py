@@ -152,18 +152,6 @@ def main():
         print(f"Info: {len(surfaces)} surfaces to plot ({label} scaling)")
         for s in surfaces:
             print(f"Info:   => plotting surface {s} ({label} scaling)")
-        if label == "strong":
-            # speedup: t(np=1) / t(np) per surface (reference computes the
-            # same from the solve timers)
-            for s in surfaces:
-                rs = sorted((r for r in group if r.surface == s),
-                            key=lambda r: r.np_)
-                base = next((r for r in rs if r.np_ == 1), None)
-                if base and base.times.get("solve"):
-                    for r in rs:
-                        t = r.times.get("solve", 0.0)
-                        if r.np_ > 1 and t > 0:
-                            pass  # speedups feed the plots, not the summary
 
     if a.plot:
         _render(runs, a.metric, a.plot)

@@ -89,7 +89,7 @@ def run_sweep(workload: str, scaling: str, out_dir: str, full: bool) -> int:
         size = 16 if strong else 8
     else:
         size = 10 if strong else 5
-    nps = [1, 2] if not full else [1, 2]
+    nps = [1, 2]  # the reference pins np to {1, 2} too (STRONG_MPI="01 02")
     tols = ["1.e-05"] if not full else ["1.e-04", "1.e-05"]
     metis = ["--metisDual", "--metisNodal"]
     pcs = PC_MATRIX if full else REDUCED_PCS
