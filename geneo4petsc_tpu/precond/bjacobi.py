@@ -2,12 +2,11 @@
 
 The reference's comparison PC (`-pc_type bjacobi`, tst/dummy/dummy.sh and
 laplacianRun.sh PC matrix): one block per process over the assembled
-operator's contiguous row ranges.  TPU-native version: contiguous row
-blocks padded to a common size, batched dense Cholesky.
-
-Note: PETSc's default sub-PC is ILU(0); we factor blocks exactly (for the
-tridiagonal golden systems ILU(0) == LU so counts agree; exact block solves
-are also the stronger, MXU-friendly choice).
+operator's contiguous row ranges, each block factored with PETSc's default
+sub-PC ILU(0).  TPU-native version: contiguous row blocks padded to a
+common size; ILU(0) as batched masked rank-1 updates (ops/ilu.py) —
+matching PETSc's sub-PC semantics — or exact batched Cholesky
+(sub_type="exact", the stronger variant).
 """
 
 from __future__ import annotations
@@ -23,19 +22,22 @@ import jax.numpy as jnp
 
 from ..config import default_dtype
 from ..ops import batched_linalg as bl
+from ..ops.ilu import ilu0_factor, ilu0_solve
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["factor", "starts", "sizes"],
-         meta_fields=["n_dof", "n_blocks", "block_max"])
+         data_fields=["factor", "pattern", "starts", "sizes"],
+         meta_fields=["n_dof", "n_blocks", "block_max", "sub_type"])
 @dataclass(frozen=True)
 class BlockJacobiPreconditioner:
     n_dof: int
     n_blocks: int
     block_max: int
-    factor: jax.Array   # [nb, bmax, bmax] Cholesky factors
-    starts: jax.Array   # [nb] row offsets
-    sizes: jax.Array    # [nb] actual block sizes
+    sub_type: str              # "ilu" (PETSc default) | "exact"
+    factor: jax.Array          # [nb, bmax, bmax] ILU(0) or Cholesky factors
+    pattern: jax.Array | None  # [nb, bmax, bmax] bool (ilu only)
+    starts: jax.Array          # [nb] row offsets
+    sizes: jax.Array           # [nb] actual block sizes
 
     def apply(self, x: jax.Array) -> jax.Array:
         bmax = self.block_max
@@ -43,7 +45,10 @@ class BlockJacobiPreconditioner:
         idx = self.starts[:, None] + jnp.arange(bmax)[None, :]
         lm = jnp.arange(bmax)[None, :] < self.sizes[:, None]
         xl = jnp.where(lm, xp[idx], 0)
-        yl = bl.cholesky_solve(self.factor, xl)
+        if self.sub_type == "ilu":
+            yl = ilu0_solve(self.factor, self.pattern, xl)
+        else:
+            yl = bl.cholesky_solve(self.factor, xl)
         yl = jnp.where(lm, yl, 0)
         flat_idx = jnp.where(lm, idx, self.n_dof).ravel()
         y = jax.ops.segment_sum(yl.ravel(), flat_idx,
@@ -55,9 +60,10 @@ class BlockJacobiPreconditioner:
 
 
 def setup_bjacobi(a_csr: sp.csr_matrix, n_blocks: int,
-                  dtype=None) -> BlockJacobiPreconditioner:
+                  dtype=None, sub_type: str = "ilu"
+                  ) -> BlockJacobiPreconditioner:
     """Split rows into n_blocks contiguous ranges (PETSc PETSC_DECIDE
-    layout: ceil-ish even split) and factor the diagonal blocks."""
+    layout: even split) and factor the diagonal blocks."""
     if dtype is None:
         dtype = default_dtype()
     n = a_csr.shape[0]
@@ -68,8 +74,13 @@ def setup_bjacobi(a_csr: sp.csr_matrix, n_blocks: int,
     blocks = np.tile(np.eye(bmax), (n_blocks, 1, 1))
     for i, (s, k) in enumerate(zip(starts, sizes)):
         blocks[i, :k, :k] = a_csr[s:s + k, s:s + k].todense()
-    factor = bl.cholesky_factor(jnp.asarray(blocks, dtype))
+    if sub_type == "ilu":
+        pattern = jnp.asarray(blocks != 0.0)
+        factor = ilu0_factor(jnp.asarray(blocks, dtype), pattern)
+    else:
+        pattern = None
+        factor = bl.cholesky_factor(jnp.asarray(blocks, dtype))
     return BlockJacobiPreconditioner(
-        n_dof=n, n_blocks=n_blocks, block_max=bmax,
-        factor=factor, starts=jnp.asarray(starts),
+        n_dof=n, n_blocks=n_blocks, block_max=bmax, sub_type=sub_type,
+        factor=factor, pattern=pattern, starts=jnp.asarray(starts),
         sizes=jnp.asarray(np.asarray(sizes, np.int32)))
