@@ -279,11 +279,11 @@ def assemble(mesh: ElementMesh, decomp: Decomposition,
         mult[p, :k] = decomp.node_mult[nodes]
         li, lj, wvals, nnz = _local_triplets(mesh, decomp, p, groups)
         nnz_loc[p] = nnz
-        np.add.at(a_neu[p], (li, lj), wvals.astype(np_dtype))
+        np.add.at(a_neu[p], (li, lj), wvals.astype(np_dtype, copy=False))
 
     # all Dirichlet blocks in one vectorized pass over the assembled entries
     d_dom, d_li, d_lj, d_val = _extract_dirichlet_all(a_csr, decomp)
-    a_dir[d_dom, d_li, d_lj] = d_val.astype(np_dtype)
+    a_dir[d_dom, d_li, d_lj] = d_val.astype(np_dtype, copy=False)
     # pad-slot identity diagonal (covers empty domains too — the module's
     # documented padding invariant)
     for p in range(n_dom):
@@ -303,8 +303,7 @@ def assemble(mesh: ElementMesh, decomp: Decomposition,
     batch = SubdomainBatch(
         n_dof=n_dof, n_dom=n_dom, n_max=n_max,
         gids=put(gids), mask=put(mask),
-        mult=put(mult.astype(np_dtype)), a_neu=put(a_neu.astype(np_dtype)),
-        a_dir=put(a_dir.astype(np_dtype)),
+        mult=put(mult), a_neu=put(a_neu), a_dir=put(a_dir),
         scatter_perm=put(perm), sorted_gids=put(sorted_gids))
     return AssembledProblem(mesh=mesh, decomp=decomp, batch=batch,
                             a_csr=a_csr, nnz_loc=nnz_loc)

@@ -311,6 +311,12 @@ def _debug_driver_files(ap, b, drv):
         blocks = [aneu[p, :int(mask[p].sum()), :int(mask[p].sum())]
                   for p in range(ap.batch.n_dom)]
         f.write(pf.format_matis(blocks, drv.n_parts))
+    if drv.debug_mat:
+        # matlab-format export (--debug mat; PETSC_VIEWER_ASCII_MATLAB role)
+        with open("debug.input.A.mat", "w") as f:
+            f.write(pf.format_mat_matlab(ap.a_csr.toarray(), "A"))
+        with open("debug.input.B.mat", "w") as f:
+            f.write(pf.format_vec_matlab(b, "B"))
     np.savetxt("debug.input.B.log", b, fmt="%.12g")
 
 

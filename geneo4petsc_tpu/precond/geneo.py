@@ -435,24 +435,48 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
             # in seconds and runs at MXU speed, unlike the full-size dense
             # eigh (host upload of the pencil is fast; only w/v come back)
             _dev = jax.devices()[0]
+            shift = float(np.mean(thr))
             if _dev.platform != "cpu":
+                # chunk the domain batch: one compiled executable (fixed
+                # chunk shape) reused across slices — very large batches
+                # make the Rayleigh-Ritz lowering pathologically slow to
+                # compile/run in one piece, and chunking also caps device
+                # memory for the pencil staging
+                chunk = 1024
                 a_host = np.asarray(a_eff, np.float32)
                 b_host = np.asarray(b_eff, np.float32)
                 _vlog("lobpcg: pencils materialized on host")
-                a_run = jax.device_put(a_host, _dev)
-                b_run = jax.device_put(b_host, _dev)
-                a_run.block_until_ready()
-                _vlog("lobpcg: pencils uploaded")
+                w_parts, v_parts = [], []
+                n_chunks = (n_dom + chunk - 1) // chunk
+                for c in range(n_chunks):
+                    lo, hi = c * chunk, min((c + 1) * chunk, n_dom)
+                    if hi - lo < chunk and n_chunks > 1:
+                        # pad the tail slice to the compiled chunk shape
+                        pad = chunk - (hi - lo)
+                        a_c = np.concatenate(
+                            [a_host[lo:hi], a_host[:pad]], axis=0)
+                        b_c = np.concatenate(
+                            [b_host[lo:hi], b_host[:pad]], axis=0)
+                    else:
+                        a_c, b_c = a_host[lo:hi], b_host[lo:hi]
+                        pad = 0
+                    w_c, v_c, _res = batched_lobpcg(
+                        jax.device_put(a_c, _dev),
+                        jax.device_put(b_c, _dev),
+                        k=k_cand, max_it=max_it, shift=shift)
+                    w_c.block_until_ready()
+                    _vlog(f"lobpcg: chunk {c + 1}/{n_chunks} done")
+                    take = (hi - lo)
+                    w_parts.append(np.asarray(w_c[:take], np.float64))
+                    v_parts.append(np.asarray(v_c[:take], np.float64))
+                w_np = np.concatenate(w_parts, axis=0)
+                v_np = np.concatenate(v_parts, axis=0)
+                _vlog("lobpcg: eigenpairs on host")
             else:
-                a_run, b_run = a_eff, b_eff
-            w, v, _res = batched_lobpcg(
-                a_run, b_run, k=k_cand, max_it=max_it,
-                shift=float(np.mean(thr)))
-            w.block_until_ready()
-            _vlog("lobpcg: solve done; pulling eigenpairs")
-            w_np = np.asarray(w, np.float64)       # [d, k_cand]
-            v_np = np.asarray(v, np.float64)       # [d, n_max, k_cand]
-            _vlog("lobpcg: eigenpairs on host")
+                w, v, _res = batched_lobpcg(
+                    a_eff, b_eff, k=k_cand, max_it=max_it, shift=shift)
+                w_np = np.asarray(w, np.float64)       # [d, k_cand]
+                v_np = np.asarray(v, np.float64)       # [d, n_max, k_cand]
         else:
             w, v = bl.generalized_eigh(a_eff, b_eff)
             w_np = np.asarray(w, np.float64)

@@ -61,6 +61,25 @@ def format_matis(blocks: list[np.ndarray], n_proc: int,
     return "\n".join(lines) + "\n"
 
 
+def format_vec_matlab(v: np.ndarray, name: str) -> str:
+    """Matlab-format vector export (PETSC_VIEWER_ASCII_MATLAB role,
+    src/geneo.cpp:66-68): `name = [ ... ];`."""
+    lines = [f"%Vec Object: {name}", f"{name} = ["]
+    lines += [f"{float(x):.16e}" for x in v]
+    lines.append("];")
+    return "\n".join(lines) + "\n"
+
+
+def format_mat_matlab(a: np.ndarray, name: str) -> str:
+    """Matlab-format sparse-matrix export: zeros/sparse triplet form."""
+    lines = [f"%Mat Object: {name}",
+             f"{name} = zeros({a.shape[0]},{a.shape[1]});"]
+    nz = np.argwhere(a != 0.0)
+    for i, j in nz:
+        lines.append(f"{name}({i + 1},{j + 1}) = {float(a[i, j]):.16e};")
+    return "\n".join(lines) + "\n"
+
+
 def format_aij_global(a_dense: np.ndarray, n_proc: int,
                       name: str | None = None) -> str:
     """MatView of an assembled (MPI)AIJ matrix."""
