@@ -168,6 +168,38 @@ def _with_pad_diag(a: jax.Array, mask: jax.Array, value: float) -> jax.Array:
     return a - pad * 1.0 + pad * value
 
 
+@jax.jit
+def _robin_from_arrays(a_neu, a_dir, mult, mask, optim):
+    """Robin blocks from raw arrays (device-side robin_blocks)."""
+    border = (mult > 1.0) & mask
+    sel = border[:, :, None] & border[:, None, :]
+    return a_dir + optim * jnp.where(sel, a_neu, 0.0)
+
+
+@jax.jit
+def _device_inverse(m_blocks):
+    """Batched SPD inverse on the accelerator: Cholesky + two triangular
+    solves against the identity."""
+    fac = bl.cholesky_factor(m_blocks)
+    n = m_blocks.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=m_blocks.dtype),
+                           m_blocks.shape)
+    y = jsl.solve_triangular(fac, eye, lower=True)
+    return jsl.solve_triangular(jnp.swapaxes(fac, -1, -2), y, lower=False)
+
+
+@jax.jit
+def _pencil_tau_device(a_neu, a_dir, mult, mask, steer):
+    """Device-side GenEO-1 tau pencil: (A_Neu steered, D A_Dir D)."""
+    d = 1.0 / mult
+    b_eff = a_dir * d[:, :, None] * d[:, None, :]
+    n = a_neu.shape[-1]
+    eye = jnp.eye(n, dtype=a_neu.dtype)
+    pad = (~mask)[:, :, None] * (~mask)[:, None, :] * eye
+    a_eff = a_neu - pad * 1.0 + pad * steer
+    return a_eff, b_eff
+
+
 def _tau_loc(mult: np.ndarray, mask: np.ndarray, tau: float, cst: bool
              ) -> np.ndarray:
     """Local adaptive tau (getLocalGenEOTau, geneo.cpp:1097-1118):
@@ -271,14 +303,27 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
         dev = jax.devices()[0]
         if next(iter(batch.gids.devices())).platform != "cpu":
             batch = jax.device_put(batch, cpu)  # slow pull; assemble on host
+        # one-time upload of the raw operator blocks: level-1 factorization
+        # and the eigenproblem pencils are computed ON the accelerator
+        # (batched Cholesky/elementwise ops compile in seconds with the
+        # pytrees as jit arguments), and the a_neu copy is reused directly
+        # as the iteration-phase operator — no second upload
+        accel = {
+            "dev": dev,
+            "a_neu": jax.device_put(batch.a_neu, dev),
+            "a_dir": jax.device_put(batch.a_dir, dev),
+            "mask": jax.device_put(batch.mask, dev),
+            "mult": jax.device_put(batch.mult, dev),
+        }
         with jax.default_device(cpu):
-            pc, stats = _setup_geneo_impl(batch, opts, decomp, timers, a_csr)
-        # the iteration path never touches the Dirichlet blocks: drop them
-        # from the device copy (1/3 of the upload volume); host callers
-        # keep them via the original batch
-        pc = dataclasses.replace(
-            pc, batch=dataclasses.replace(pc.batch, a_dir=None))
-        pc = jax.device_put(pc, dev)  # single host->device upload
+            pc, stats = _setup_geneo_impl(batch, opts, decomp, timers,
+                                          a_csr, accel)
+        # assemble the device-resident batch: reuse the uploaded a_neu;
+        # the iteration path never touches the Dirichlet blocks
+        batch_dev = dataclasses.replace(batch, a_neu=accel["a_neu"],
+                                        a_dir=None)
+        pc = dataclasses.replace(pc, batch=batch_dev)
+        pc = jax.device_put(pc, dev)  # uploads the remaining host leaves
         if opts.eff_hybrid and b is not None:
             pc = dataclasses.replace(pc, x0=pc.apply_q(b))
         return pc, stats
@@ -311,7 +356,7 @@ def _assembled_csr_from_batch(batch: SubdomainBatch, n_real):
 
 
 def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
-                      decomp=None, timers=None, a_csr=None
+                      decomp=None, timers=None, a_csr=None, accel=None
                       ) -> tuple[GenEOPreconditioner, GenEOStats]:
     import os as _os
     import sys as _sys
@@ -339,7 +384,16 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
 
     # ----- level 1: factor Dirichlet (ASM..SRAS) or Robin (ORAS/SORAS) -----
     _t = _time.perf_counter()
-    if opts.lvl1_oras:
+    if accel is not None:
+        # device-side blocks (batched elementwise ops + factorization on
+        # the accelerator; compiles in seconds with pytree arguments)
+        if opts.lvl1_oras:
+            m_blocks = _robin_from_arrays(accel["a_neu"], accel["a_dir"],
+                                          accel["mult"], accel["mask"],
+                                          opts.optim)
+        else:
+            m_blocks = accel["a_dir"]
+    elif opts.lvl1_oras:
         m_blocks = robin_blocks(batch, opts.optim)   # (14) of R4
     else:
         m_blocks = batch.a_dir                       # (1.30) of R1
@@ -351,9 +405,14 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     else:
         l1_kind = "chol"
     if l1_kind == "inv":
-        # precomputed block inverses (host LAPACK, f64), the MXU fast path
-        l1_factor = jnp.asarray(
-            np.linalg.inv(np.asarray(m_blocks, np.float64)), dtype)
+        if accel is not None:
+            # device inverse via Cholesky + triangular solves vs identity
+            l1_factor = _device_inverse(m_blocks)
+            l1_factor.block_until_ready()
+        else:
+            # precomputed block inverses (host LAPACK, f64)
+            l1_factor = jnp.asarray(
+                np.linalg.inv(np.asarray(m_blocks, np.float64)), dtype)
     elif l1_kind == "lu":
         # batched LU with partial pivoting (the reference's MUMPS-LU route;
         # works for non-SPD user-supplied operators)
@@ -416,10 +475,16 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     for kind, a_p, b_p, thr in problems:
         _t = _time.perf_counter()
         steer = 1e6 if kind == "tau" else 1e-6
-        a_eff = _with_pad_diag(a_p, batch.mask, steer)
-        b_eff = b_p  # pad diag stays 1
         _vlog(f"eigensolve ({kind})")
         use_lobpcg = opts.els2.type == "lobpcg" and kind == "tau"
+        # the padded-diagonal steering copy is only needed by the host
+        # eigensolve paths; the device-pencil path rebuilds it on device
+        a_eff = b_eff = None
+        if not (use_lobpcg and accel is not None and kind == "tau"
+                and opts.lvl2_num == 1
+                and jax.devices()[0].platform != "cpu"):
+            a_eff = _with_pad_diag(a_p, batch.mask, steer)
+            b_eff = b_p  # pad diag stays 1
         if use_lobpcg:
             # iterative path (the ARPACK-equivalent, SURVEY hard part #1):
             # batched LOBPCG computing only k = -geneo_cut candidates per
@@ -443,27 +508,38 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
                 # compile/run in one piece, and chunking also caps device
                 # memory for the pencil staging
                 chunk = 1024
-                a_host = np.asarray(a_eff, np.float32)
-                b_host = np.asarray(b_eff, np.float32)
-                _vlog("lobpcg: pencils materialized on host")
+                if accel is not None and kind == "tau" \
+                        and opts.lvl2_num == 1:
+                    # pencils built ON the accelerator from the uploaded
+                    # raw blocks (no host materialization, no extra upload)
+                    a_full, b_full = _pencil_tau_device(
+                        accel["a_neu"], accel["a_dir"], accel["mult"],
+                        accel["mask"], jnp.asarray(steer, dtype))
+                    jax.block_until_ready(b_full)
+                    slice_dev = True
+                    _vlog("lobpcg: pencils built on device")
+                else:
+                    a_full = np.asarray(a_eff, np.float32)
+                    b_full = np.asarray(b_eff, np.float32)
+                    slice_dev = False
+                    _vlog("lobpcg: pencils materialized on host")
                 w_parts, v_parts = [], []
                 n_chunks = (n_dom + chunk - 1) // chunk
+                cat = jnp.concatenate if slice_dev else np.concatenate
                 for c in range(n_chunks):
                     lo, hi = c * chunk, min((c + 1) * chunk, n_dom)
                     if hi - lo < chunk and n_chunks > 1:
                         # pad the tail slice to the compiled chunk shape
                         pad = chunk - (hi - lo)
-                        a_c = np.concatenate(
-                            [a_host[lo:hi], a_host[:pad]], axis=0)
-                        b_c = np.concatenate(
-                            [b_host[lo:hi], b_host[:pad]], axis=0)
+                        a_c = cat([a_full[lo:hi], a_full[:pad]], axis=0)
+                        b_c = cat([b_full[lo:hi], b_full[:pad]], axis=0)
                     else:
-                        a_c, b_c = a_host[lo:hi], b_host[lo:hi]
-                        pad = 0
+                        a_c, b_c = a_full[lo:hi], b_full[lo:hi]
+                    if not slice_dev:
+                        a_c = jax.device_put(a_c, _dev)
+                        b_c = jax.device_put(b_c, _dev)
                     w_c, v_c, _res = batched_lobpcg(
-                        jax.device_put(a_c, _dev),
-                        jax.device_put(b_c, _dev),
-                        k=k_cand, max_it=max_it, shift=shift)
+                        a_c, b_c, k=k_cand, max_it=max_it, shift=shift)
                     w_c.block_until_ready()
                     _vlog(f"lobpcg: chunk {c + 1}/{n_chunks} done")
                     take = (hi - lo)
@@ -503,8 +579,19 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
         _t = _time2.perf_counter()
         if not opts.no_syl and not use_lobpcg:
             stats.estim_dim_e += estim
-        a_np = np.asarray(a_p, np.float64)
-        b_np = np.asarray(b_p, np.float64)
+        # Nicolaides near-kernel test needs only the quadratic forms
+        # 1^T A 1 / 1^T B 1 per domain: one batched einsum with an f64
+        # accumulator instead of materializing f64 copies of the pencils
+        # (the copies alone cost ~36 s at the 1 MDOF scale)
+        if kind == "tau":
+            ones_all = mask_np.astype(np.float64)
+            num_all = np.einsum("dn,dnm,dm->d", ones_all,
+                                np.asarray(a_p), ones_all,
+                                dtype=np.float64)
+            den_all = np.einsum("dn,dnm,dm->d", ones_all,
+                                np.asarray(b_p), ones_all,
+                                dtype=np.float64)
+            _vlog("nicolaides quadratic forms")
         for p in range(n_dom):
             kept_w = w_np[p, keep[p]]
             for i in keep[p]:
@@ -517,13 +604,13 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
                 no_zero = len(kept_w) > 0 and kept_w.min() >= eps64
                 if no_zero:
                     ones = mask_np[p].astype(np.float64)
-                    num = ones @ (a_np[p] @ ones)
-                    den = ones @ (b_np[p] @ ones)
+                    num, den = num_all[p], den_all[p]
                     ratio = abs(num / den) if den != 0 else np.inf
                     if ratio <= eps32:
                         cols[p].append(ones)
                         evals[p].append(0.0)
                         stats.nicolaides[p] += 1
+        _vlog(f"columns selected ({kind})")
 
     # Empty local coarse set is forbidden: add the constant vector
     # (geneo.cpp:1303-1314).  Empty *domains* contribute no columns.
@@ -579,13 +666,37 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     _t = _mark("l2_z", _t)
     e = np.asarray((zg_sp.T @ (a_sp @ zg_sp)).todense())
     e = 0.5 * (e + e.T)
-    ew, ev = bl.host_eigh(e)
+    _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
+    # Fast path: E is SPD when the selected columns are independent, so a
+    # Cholesky factor L with W := L^{-T} gives E^{-1} = W diag(1) W^T —
+    # the exact spectral-apply layout (apply_q) at a fraction of eigh's
+    # cost (LAPACK dpotrf+dtrtri is ~7x cheaper than dsyevd at dim_e~8k).
+    # The spectral pseudo-inverse stays as the fallback for (near-)singular
+    # E — the MUMPS null-pivot-fix analogue (geneo.cpp ICNTL(24)/CNTL(5)).
+    ev_np = None
+    if dim_e > 0:
+        try:
+            c = np.linalg.cholesky(e)
+            dg = np.diagonal(c)
+            # numerically near-singular E must take the truncating
+            # spectral fallback even when dpotrf happens to succeed
+            if dg.min() ** 2 > dim_e * np.finfo(dtype).eps * dg.max() ** 2:
+                from scipy.linalg.lapack import dtrtri as _dtrtri
+                linv, info = _dtrtri(c, lower=1)
+                if info == 0:
+                    ev_np = np.ascontiguousarray(linv.T)  # W = L^{-T}
+                    ew_np = np.ones(dim_e)
+        except np.linalg.LinAlgError:
+            pass
+    if ev_np is None:
+        ew_np, ev_np = bl.host_eigh(e)
+        ew_np = np.asarray(ew_np)
+        tol = dim_e * np.finfo(dtype).eps * np.abs(ew_np).max(initial=0.0)
+        ew_np = np.where(ew_np > tol, ew_np, np.inf)  # truncated modes
     # round-trip through host numpy so the factors land on the default
     # (accelerator) device uncommitted
-    ew = jnp.asarray(np.asarray(ew), dtype)
-    ev = jnp.asarray(np.asarray(ev), dtype)
-    tol = dim_e * jnp.finfo(dtype).eps * jnp.max(jnp.abs(ew))
-    e_eig_inv = jnp.where(ew > tol, 1.0 / jnp.where(ew > tol, ew, 1.0), 0.0)
+    ev = jnp.asarray(np.asarray(ev_np), dtype)
+    e_eig_inv = jnp.asarray(1.0 / ew_np, dtype)
     e_eig_inv.block_until_ready()
     _t = _mark("l2_e", _t)
     _vlog("E factored; transferring products")
