@@ -279,6 +279,29 @@ def _select_columns(w: np.ndarray, kind: str, thr: np.ndarray,
     return keep, estim
 
 
+@partial(jax.jit, static_argnums=2)
+def _scatter_fill(idx: jax.Array, val: jax.Array, size: int) -> jax.Array:
+    return jnp.zeros(size, val.dtype).at[idx].set(
+        val, unique_indices=True, indices_are_sorted=True)
+
+
+def _upload_sparse(x, dev) -> jax.Array:
+    """Upload a mostly-zero dense batch as COO (values + sorted flat
+    indices) and rebuild it on ``dev`` with one scatter.
+
+    The local operator blocks are <1% dense (9-point stencils in 320-wide
+    blocks), while the tunnel link runs at ~20-70 MB/s — so shipping the
+    3.4 GB dense [n_dom, n_max, n_max] pair costs minutes, the ~250 MB COO
+    stream seconds.  ``np.flatnonzero`` yields ascending indices, hence the
+    sorted+unique scatter hints."""
+    flat = np.asarray(x).ravel()
+    idx = np.flatnonzero(flat)
+    itype = np.int32 if flat.size < 2**31 else np.int64
+    idx_d = jax.device_put(idx.astype(itype, copy=False), dev)
+    val_d = jax.device_put(flat[idx], dev)
+    return _scatter_fill(idx_d, val_d, flat.size).reshape(x.shape)
+
+
 def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
                 b: jax.Array | None = None,
                 decomp=None, timers=None, a_csr=None
@@ -310,8 +333,8 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
         # as the iteration-phase operator — no second upload
         accel = {
             "dev": dev,
-            "a_neu": jax.device_put(batch.a_neu, dev),
-            "a_dir": jax.device_put(batch.a_dir, dev),
+            "a_neu": _upload_sparse(batch.a_neu, dev),
+            "a_dir": _upload_sparse(batch.a_dir, dev),
             "mask": jax.device_put(batch.mask, dev),
             "mult": jax.device_put(batch.mult, dev),
         }

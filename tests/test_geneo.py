@@ -152,3 +152,18 @@ def test_empty_domains_tolerated():
                      ksp=KSPOptions(rtol=1e-12, atol=1e-12), driver=drv)
     assert out.converged
     assert np.allclose(out.x, np.arange(1, 9), atol=1e-9)
+
+
+def test_upload_sparse_roundtrip():
+    """COO upload + device scatter-fill reconstructs the dense blocks
+    bit-exactly (the tunnel-bandwidth path for the accelerator setup)."""
+    import jax
+    from geneo4petsc_tpu.precond.geneo import _upload_sparse
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3, 8, 8)).astype(np.float32)
+    x[x < 0.8] = 0.0          # sparse-ish, keeps some negatives out
+    x[1] = 0.0                # one all-zero block
+    got = np.asarray(_upload_sparse(x, jax.devices("cpu")[0]))
+    assert got.shape == x.shape
+    assert (got == x).all()
