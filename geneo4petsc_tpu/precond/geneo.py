@@ -200,6 +200,26 @@ def _pencil_tau_device(a_neu, a_dir, mult, mask, steer):
     return a_eff, b_eff
 
 
+@partial(jax.jit, static_argnums=5)
+def _pencil_g2_device(a_neu, a_dir, mult, mask, optim, kind):
+    """Device-side GenEO-2 pencils in LOBPCG (smallest-eigenpair) form.
+
+    tau:   (A_Neu steered, A_Rob)            — (19) of R4, smallest lambda
+    gamma: (A_Rob steered, D A_Dir D)        — (21) of R4 REVERSED: its
+           largest lambda are the smallest mu = 1/lambda of the swapped
+           pencil, which is what LOBPCG computes.  Pad slots get a 1e6
+           diagonal on the steered side so they never enter the window."""
+    a_rob = _robin_from_arrays(a_neu, a_dir, mult, mask, optim)
+    n = a_neu.shape[-1]
+    eye = jnp.eye(n, dtype=a_neu.dtype)
+    pad = (~mask)[:, :, None] * (~mask)[:, None, :] * eye
+    if kind == "tau":
+        return a_neu - pad * 1.0 + pad * 1e6, a_rob
+    d = 1.0 / mult
+    dadird = a_dir * d[:, :, None] * d[:, None, :]
+    return a_rob - pad * 1.0 + pad * 1e6, dadird
+
+
 def _tau_loc(mult: np.ndarray, mask: np.ndarray, tau: float, cst: bool
              ) -> np.ndarray:
     """Local adaptive tau (getLocalGenEOTau, geneo.cpp:1097-1118):
@@ -331,6 +351,11 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
         # (batched Cholesky/elementwise ops compile in seconds with the
         # pytrees as jit arguments), and the a_neu copy is reused directly
         # as the iteration-phase operator — no second upload
+        import os as _os
+        import sys as _sys
+        import time as _timemod
+        _dbg_up = _os.environ.get("GENEO_SETUP_VERBOSE") == "1"
+        _t_up = _timemod.perf_counter()
         accel = {
             "dev": dev,
             "a_neu": _upload_sparse(batch.a_neu, dev),
@@ -338,6 +363,11 @@ def setup_geneo(batch: SubdomainBatch, opts: GenEOOptions,
             "mask": jax.device_put(batch.mask, dev),
             "mult": jax.device_put(batch.mult, dev),
         }
+        if _dbg_up:
+            jax.block_until_ready(accel["a_dir"])
+            print(f"[setup  upload] COO blocks on device in "
+                  f"{_timemod.perf_counter() - _t_up:.2f}s",
+                  file=_sys.stderr, flush=True)
         with jax.default_device(cpu):
             pc, stats = _setup_geneo_impl(batch, opts, decomp, timers,
                                           a_csr, accel)
@@ -499,15 +529,25 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
         _t = _time.perf_counter()
         steer = 1e6 if kind == "tau" else 1e-6
         _vlog(f"eigensolve ({kind})")
-        use_lobpcg = opts.els2.type == "lobpcg" and kind == "tau"
+        use_lobpcg = opts.els2.type == "lobpcg"
+        # the gamma problem wants the LARGEST pencil eigenvalues; LOBPCG
+        # computes the smallest, so it runs on the SWAPPED pencil (both
+        # sides SPD) and the eigenvalues come back as mu = 1/lambda
+        reversed_pencil = use_lobpcg and kind == "gamma"
+        pencil_on_device = (
+            use_lobpcg and accel is not None
+            and jax.devices()[0].platform != "cpu"
+            and (opts.lvl2_num == 2 or kind == "tau"))
         # the padded-diagonal steering copy is only needed by the host
         # eigensolve paths; the device-pencil path rebuilds it on device
         a_eff = b_eff = None
-        if not (use_lobpcg and accel is not None and kind == "tau"
-                and opts.lvl2_num == 1
-                and jax.devices()[0].platform != "cpu"):
-            a_eff = _with_pad_diag(a_p, batch.mask, steer)
-            b_eff = b_p  # pad diag stays 1
+        if not pencil_on_device:
+            if reversed_pencil:
+                a_eff = _with_pad_diag(b_p, batch.mask, 1e6)
+                b_eff = a_p  # D A_Dir D: SPD, pad diag stays 1
+            else:
+                a_eff = _with_pad_diag(a_p, batch.mask, steer)
+                b_eff = b_p  # pad diag stays 1
         if use_lobpcg:
             # iterative path (the ARPACK-equivalent, SURVEY hard part #1):
             # batched LOBPCG computing only k = -geneo_cut candidates per
@@ -516,6 +556,12 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
             from ..ops.lobpcg import batched_lobpcg
             k_cand = cut if cut > 0 else 8
             k_cand = min(k_cand, batch.n_max)
+            # guard vectors: GenEO-2 halves the candidate count per pencil
+            # and its near-threshold spectra are clustered — a few extra
+            # working columns sharpen the wanted Ritz pairs substantially
+            # (the GenEO-1 path stays guard-free: its windows are gapped)
+            k_run = min(k_cand + (4 if opts.lvl2_num == 2 else 0),
+                        batch.n_max)
             max_it = min(int(opts.els2.max_it), 200) \
                 if opts.els2.max_it < 10000 else 50
             # run on the accelerator when one exists: LOBPCG is pure
@@ -523,7 +569,8 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
             # in seconds and runs at MXU speed, unlike the full-size dense
             # eigh (host upload of the pencil is fast; only w/v come back)
             _dev = jax.devices()[0]
-            shift = float(np.mean(thr))
+            shift = float(np.mean(1.0 / np.maximum(thr, 1e-12))
+                          if reversed_pencil else np.mean(thr))
             if _dev.platform != "cpu":
                 # chunk the domain batch: one compiled executable (fixed
                 # chunk shape) reused across slices — very large batches
@@ -531,13 +578,18 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
                 # compile/run in one piece, and chunking also caps device
                 # memory for the pencil staging
                 chunk = 1024
-                if accel is not None and kind == "tau" \
-                        and opts.lvl2_num == 1:
+                if pencil_on_device:
                     # pencils built ON the accelerator from the uploaded
                     # raw blocks (no host materialization, no extra upload)
-                    a_full, b_full = _pencil_tau_device(
-                        accel["a_neu"], accel["a_dir"], accel["mult"],
-                        accel["mask"], jnp.asarray(steer, dtype))
+                    if opts.lvl2_num == 1:
+                        a_full, b_full = _pencil_tau_device(
+                            accel["a_neu"], accel["a_dir"], accel["mult"],
+                            accel["mask"], jnp.asarray(steer, dtype))
+                    else:
+                        a_full, b_full = _pencil_g2_device(
+                            accel["a_neu"], accel["a_dir"], accel["mult"],
+                            accel["mask"], jnp.asarray(opts.optim, dtype),
+                            kind)
                     jax.block_until_ready(b_full)
                     slice_dev = True
                     _vlog("lobpcg: pencils built on device")
@@ -562,20 +614,28 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
                         a_c = jax.device_put(a_c, _dev)
                         b_c = jax.device_put(b_c, _dev)
                     w_c, v_c, _res = batched_lobpcg(
-                        a_c, b_c, k=k_cand, max_it=max_it, shift=shift)
+                        a_c, b_c, k=k_run, max_it=max_it, shift=shift)
                     w_c.block_until_ready()
                     _vlog(f"lobpcg: chunk {c + 1}/{n_chunks} done")
                     take = (hi - lo)
-                    w_parts.append(np.asarray(w_c[:take], np.float64))
-                    v_parts.append(np.asarray(v_c[:take], np.float64))
+                    # guard columns are dropped on the HOST: a device-side
+                    # k-slice is a fresh executable, and one-shot compiles
+                    # on the tunneled service can stall for minutes
+                    w_parts.append(
+                        np.asarray(w_c[:take], np.float64)[:, :k_cand])
+                    v_parts.append(
+                        np.asarray(v_c[:take], np.float64)[:, :, :k_cand])
                 w_np = np.concatenate(w_parts, axis=0)
                 v_np = np.concatenate(v_parts, axis=0)
                 _vlog("lobpcg: eigenpairs on host")
             else:
                 w, v, _res = batched_lobpcg(
-                    a_eff, b_eff, k=k_cand, max_it=max_it, shift=shift)
-                w_np = np.asarray(w, np.float64)       # [d, k_cand]
-                v_np = np.asarray(v, np.float64)       # [d, n_max, k_cand]
+                    a_eff, b_eff, k=k_run, max_it=max_it, shift=shift)
+                w_np = np.asarray(w[:, :k_cand], np.float64)
+                v_np = np.asarray(v[:, :, :k_cand], np.float64)
+            if reversed_pencil:
+                # map the swapped-pencil mu back to lambda = 1/mu
+                w_np = 1.0 / np.maximum(w_np, np.finfo(np.float64).tiny)
         else:
             w, v = bl.generalized_eigh(a_eff, b_eff)
             w_np = np.asarray(w, np.float64)
@@ -588,9 +648,16 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
         _t = _time2.perf_counter()
         _vlog(f"selecting ({kind})")
         if use_lobpcg:
-            # all computed candidates in [0, thr] are kept; no inertia
-            # estimates (stats follow the no_syl reporting convention)
-            keep = [np.where(w_np[p] <= thr[p])[0] for p in range(n_dom)]
+            # all computed candidates inside the window are kept; no
+            # inertia estimates (stats follow the no_syl convention)
+            if kind == "tau":
+                keep = [np.where(w_np[p] <= thr[p])[0]
+                        for p in range(n_dom)]
+            else:
+                # swapped-pencil Ritz values under-estimate lambda; a 1%
+                # margin keeps genuinely-above-threshold modes selected
+                keep = [np.where(w_np[p] >= 0.99 * thr[p])[0]
+                        for p in range(n_dom)]
             estim = np.zeros(n_dom, np.int64)
         else:
             keep, estim = _select_columns(w_np, kind, thr, n_real,
