@@ -32,13 +32,11 @@ def _log(msg):
 
 
 def main():
-    # default: 32k-DOF medium config (dense-eigh setup); "large" switches to
-    # the scale path: 1M DOF, 4096 domains, on-chip batched LOBPCG setup
-    # default: 262k DOF / 1024 subdomains with the on-chip LOBPCG setup
-    # (~100 s end-to-end on this host).  "medium" = 32k dense-eigh config;
-    # "xlarge" = the 1M-DOF config (aspirational on this tunnel: the 3.4 GB
-    # pencil upload + 4096-batch eigensolve exceed the time envelope).
-    mode = sys.argv[1] if len(sys.argv) > 1 else "large"
+    # default: the 1M-DOF / 4096-subdomain config — fully on-chip setup
+    # (COO-upload of the operator blocks, device L1 factor + pencils,
+    # chunked batched LOBPCG), ~110 s/MDOF end-to-end on one v5e chip.
+    # "large" = 262k / 1024 domains; "medium" = 32k dense-eigh config.
+    mode = sys.argv[1] if len(sys.argv) > 1 else "xlarge"
     if mode == "xlarge":
         size, n_grid = 1000, 64
     elif mode == "large":

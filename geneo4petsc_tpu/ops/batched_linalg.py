@@ -142,6 +142,45 @@ def host_eigh(a: jax.Array):
 
 
 @jax.jit
+def ldlt_inertia(s: jax.Array, mask: jax.Array):
+    """Inertia of symmetric S via unpivoted batched LDL^T — the MUMPS
+    ICNTL/INFOG(12) route (estimateNumberOfEigenValues, geneo.cpp:502-560)
+    at Cholesky cost, usable at scales where eigvalsh is not.
+
+    ``s``: [d, n, n] symmetric (indefinite allowed); ``mask``: [d, n] valid
+    slots.  Pad rows/columns are decoupled to +1 before factoring and
+    excluded from the counts.  Returns (n_neg, n_pos) per domain.
+
+    Unpivoted LDL^T on an indefinite matrix can hit small pivots; they are
+    clamped away from zero, which can miscount by one when theta falls on
+    an eigenvalue — acceptable for the nev ESTIMATES this feeds (the
+    reference's MUMPS inertia has the same theta-on-eigenvalue caveat)."""
+    n = s.shape[-1]
+    sel = mask[:, :, None] & mask[:, None, :]
+    eye = jnp.eye(n, dtype=s.dtype)
+    s = jnp.where(sel, 0.5 * (s + jnp.swapaxes(s, -1, -2)), 0.0) \
+        + (~mask)[:, :, None] * eye
+    idx = jnp.arange(n)
+
+    def body(j, mat):
+        piv = mat[:, j, j]
+        tiny = jnp.asarray(1e-30, mat.dtype)
+        safe = jnp.where(jnp.abs(piv) > tiny,
+                         piv, jnp.where(piv < 0, -tiny, tiny))
+        colj = mat[:, :, j] / safe[:, None]
+        upd = colj[:, :, None] * mat[:, j, :][:, None, :]
+        trail = idx > j
+        scope = trail[:, None] & trail[None, :]
+        return jnp.where(scope, mat - upd, mat)
+
+    mat = jax.lax.fori_loop(0, n, body, s)
+    d = jnp.diagonal(mat, axis1=-2, axis2=-1)
+    n_neg = jnp.sum((d < 0) & mask, axis=-1)
+    n_pos = jnp.sum((d > 0) & mask, axis=-1)
+    return n_neg, n_pos
+
+
+@jax.jit
 def sylvester_counts(a: jax.Array, b: jax.Array, theta: jax.Array,
                      mask: jax.Array):
     """Sylvester inertia estimate (estimateNumberOfEigenValues,

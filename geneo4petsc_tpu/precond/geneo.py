@@ -554,7 +554,41 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
             # domain.  Requires an explicit cut (like -geneo_no_syl +
             # krylovschur in the reference, the solver bounds the count).
             from ..ops.lobpcg import batched_lobpcg
-            k_cand = cut if cut > 0 else 8
+            lobpcg_estim = None
+            if cut > 0:
+                k_cand = cut
+            elif opts.no_syl:
+                k_cand = 8
+            else:
+                # no explicit cut: size the candidate block from the
+                # Sylvester inertia of (A - theta B), the same estimate
+                # the reference feeds ARPACK's nev (geneo.cpp:502-560,
+                # 626-661) — via batched LDL^T (Cholesky cost), since a
+                # full eigvalsh would defeat the iterative path.  The
+                # swapped gamma pencil wants mu < 1/thr, i.e. the same
+                # negative-inertia count on its own arrays.
+                thr_used = 1.0 / np.maximum(thr, 1e-12) \
+                    if reversed_pencil else thr
+                if pencil_on_device:
+                    if opts.lvl2_num == 1:
+                        s_a, s_b = _pencil_tau_device(
+                            accel["a_neu"], accel["a_dir"], accel["mult"],
+                            accel["mask"], jnp.asarray(steer, dtype))
+                    else:
+                        s_a, s_b = _pencil_g2_device(
+                            accel["a_neu"], accel["a_dir"], accel["mult"],
+                            accel["mask"], jnp.asarray(opts.optim, dtype),
+                            kind)
+                    s_mask = accel["mask"]
+                else:
+                    s_a, s_b = a_eff, b_eff
+                    s_mask = batch.mask
+                th = jnp.asarray(thr_used, s_a.dtype)
+                n_neg, _pos = bl.ldlt_inertia(
+                    s_a - th[:, None, None] * s_b, s_mask)
+                lobpcg_estim = np.asarray(n_neg, np.int64)
+                k_cand = int(np.clip(lobpcg_estim.max(), 1, 32))
+                _vlog(f"inertia estimates done (k_cand={k_cand})")
             k_cand = min(k_cand, batch.n_max)
             # guard vectors: GenEO-2 halves the candidate count per pencil
             # and its near-threshold spectra are clustered — a few extra
@@ -658,7 +692,8 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
                 # margin keeps genuinely-above-threshold modes selected
                 keep = [np.where(w_np[p] >= 0.99 * thr[p])[0]
                         for p in range(n_dom)]
-            estim = np.zeros(n_dom, np.int64)
+            estim = (lobpcg_estim if lobpcg_estim is not None
+                     else np.zeros(n_dom, np.int64))
         else:
             keep, estim = _select_columns(w_np, kind, thr, n_real,
                                           opts.no_syl, cut)
@@ -667,7 +702,7 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
             timers.add("l2_syl", dt)
             timers.add(f"l2_{kind}_syl", dt)
         _t = _time2.perf_counter()
-        if not opts.no_syl and not use_lobpcg:
+        if not opts.no_syl and (not use_lobpcg or lobpcg_estim is not None):
             stats.estim_dim_e += estim
         # Nicolaides near-kernel test needs only the quadratic forms
         # 1^T A 1 / 1^T B 1 per domain: one batched einsum with an f64

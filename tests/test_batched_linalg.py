@@ -81,3 +81,51 @@ def test_lu_level1_matches_cholesky():
         assert out.converged
         its[t] = out.its
     assert its["lu"] == its["cholesky"]
+
+
+def test_ldlt_inertia_matches_eigvalsh():
+    """Unpivoted-LDL^T inertia == eigenvalue sign counts on masked
+    batches, for shifts on both sides of the spectrum."""
+    import jax.numpy as jnp
+    from geneo4petsc_tpu.ops.batched_linalg import ldlt_inertia
+
+    rng = np.random.default_rng(3)
+    d, n = 5, 24
+    a = rng.standard_normal((d, n, n))
+    a = 0.5 * (a + a.transpose(0, 2, 1))
+    mask = np.ones((d, n), bool)
+    mask[2, 18:] = False          # padded domain
+    mask[4, 6:] = False           # tiny domain
+    # decouple pads exactly as assembly does (identity diag)
+    for p in range(d):
+        a[p][~mask[p], :] = 0.0
+        a[p][:, ~mask[p]] = 0.0
+        a[p][~mask[p], ~mask[p]] = 1.0
+    for shift in (-2.0, 0.0, 1.5):
+        s = a - shift * np.eye(n)
+        neg, pos = ldlt_inertia(jnp.asarray(s), jnp.asarray(mask))
+        for p in range(d):
+            w = np.linalg.eigvalsh(s[p][np.ix_(mask[p], mask[p])])
+            assert int(np.asarray(neg)[p]) == int((w < 0).sum()), (p, shift)
+            assert int(np.asarray(pos)[p]) == int((w > 0).sum()), (p, shift)
+
+
+def test_lobpcg_autocut_from_inertia():
+    """cut=0 + lobpcg: the candidate count comes from the Sylvester
+    inertia and the GenEO-1 coarse space matches the eigh path."""
+    from geneo4petsc_tpu.config import DriverOptions, GenEOOptions, KSPOptions
+    from geneo4petsc_tpu.models import laplacian
+    from geneo4petsc_tpu.solver import solve_mesh
+
+    mesh = laplacian.get_input("--size 24 --dim 2 --kappa 10000. quad")
+    outs = {}
+    for els in ("eigh", "lobpcg"):
+        g = GenEOOptions()          # no cut
+        g.lvl1, g.lvl2 = "ASM", "1"
+        g.els2.type = els
+        outs[els] = solve_mesh(mesh, n_dom=4, pc_type="geneo", geneo=g,
+                               ksp=KSPOptions(type="cg", rtol=1e-8),
+                               driver=DriverOptions(add_overlap=1))
+    assert outs["lobpcg"].converged
+    assert (outs["lobpcg"].stats.estim_dim_e > 0).any()
+    assert outs["lobpcg"].its <= outs["eigh"].its + 3
