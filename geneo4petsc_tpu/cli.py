@@ -6,7 +6,7 @@ Same flag surface:
   --metisNodal --addOverlap L --debug F --verbose V --timing --shortRes
   --cmdLine --help
 plus PETSc-style options consumed from the remaining argv:
-  -pc_type {geneo,bjacobi,none} -ksp_type {gmres,cg} -ksp_rtol -ksp_atol
+  -pc_type {geneo,bjacobi,mg,none} -ksp_type {gmres,cg} -ksp_rtol -ksp_atol
   -ksp_divtol -ksp_max_it -ksp_gmres_restart -options_left
   -geneo_lvl L1,L2 -geneo_optim -geneo_tau -geneo_gamma -geneo_cst
   -geneo_cut -geneo_no_syl -geneo_offload -geneo_dbg F,D -geneo_chk F
@@ -51,7 +51,7 @@ usage: geneo4petsc_tpu is a TPU-native implementation of the GenEO preconditione
   --shortRes,     print short result status (stable golden-test output)
   --cmdLine,      print command line at the end of the log
 
-  -pc_type P           geneo | bjacobi | none
+  -pc_type P           geneo | bjacobi | mg | none
   -ksp_type K          gmres | cg
   -ksp_rtol/-ksp_atol/-ksp_divtol/-ksp_max_it/-ksp_gmres_restart
   -geneo_lvl L1,L2     L1 = ASM|RAS|SRAS|ORAS|SORAS; L2 = 0|1|H1|E1|2|H2|E2

@@ -100,6 +100,11 @@ def solve_assembled(assembled: AssembledProblem,
         pc = setup_bjacobi(assembled.a_csr, batch.n_dom, dtype=dtype)
         jax.block_until_ready(pc.factor)
         pc_name = "bjacobi"
+    elif pc_type == "mg":
+        from .precond.mg import setup_mg
+        pc = setup_mg(assembled.a_csr, dtype=dtype)
+        jax.block_until_ready(pc.coarse_factor)
+        pc_name = "mg"
     elif pc_type == "none":
         pc = None
         pc_name = "none"

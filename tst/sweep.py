@@ -31,9 +31,10 @@ jax.config.update("jax_enable_x64", True)
 
 from geneo4petsc_tpu import cli  # noqa: E402
 
-# The 21-config PC matrix (laplacianRun.sh:31-51)
+# The 22-config PC matrix (laplacianRun.sh:31-51)
 PC_MATRIX = [
     "-pc_type#bjacobi",
+    "-pc_type#mg",
     "-pc_type#geneo#-geneo_lvl#ASM,0",
     "-pc_type#geneo#-geneo_lvl#ASM,1",
     "-pc_type#geneo#-geneo_lvl#ASM,1##--addOverlap#1",
@@ -56,8 +57,8 @@ PC_MATRIX = [
     "-pc_type#geneo#-geneo_lvl#SORAS,E2#-geneo_offload",
 ]
 
-REDUCED_PCS = [PC_MATRIX[0], PC_MATRIX[2], PC_MATRIX[3], PC_MATRIX[5],
-               PC_MATRIX[8], PC_MATRIX[12], PC_MATRIX[15], PC_MATRIX[18]]
+REDUCED_PCS = [PC_MATRIX[0], PC_MATRIX[3], PC_MATRIX[4], PC_MATRIX[6],
+               PC_MATRIX[9], PC_MATRIX[13], PC_MATRIX[16], PC_MATRIX[19]]
 
 GENERATOR_ARGS = {
     "laplacian": "--size#{size}#--weakScaling#{ws}#--dim#2",
