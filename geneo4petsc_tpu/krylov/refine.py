@@ -94,12 +94,18 @@ def refined_solve(matvec32: Callable, pc_apply32: Callable | None,
     inner_j = inner_solver or make_inner_solver(
         matvec32, pc_apply32, inner_rtol, inner_max_it, ksp_type)
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _dbg = _os.environ.get("REFINE_VERBOSE") == "1"
     inner_total = 0
     history = []
     converged = False
     for outer in range(max_outer):
+        _t0 = _time.perf_counter()
         r = residual64(x)
         rel = np.linalg.norm(r) / bnorm
+        _t1 = _time.perf_counter()
         history.append(rel)
         if rel <= tol:
             converged = True
@@ -110,8 +116,15 @@ def refined_solve(matvec32: Callable, pc_apply32: Callable | None,
         need = 0.3 * tol / rel
         rtol_k = float(np.clip(need, inner_rtol, 0.499))
         res = inner_j(jnp.asarray(r, jnp.float32), jnp.float32(rtol_k))
-        inner_total += int(res.its)
+        its_k = int(res.its)
+        _t2 = _time.perf_counter()
+        inner_total += its_k
         x = x + np.asarray(res.x, np.float64)
+        if _dbg:
+            print(f"[refine {outer}] res64 {_t1 - _t0:.2f}s  inner "
+                  f"{_t2 - _t1:.2f}s ({its_k} its)  pull+add "
+                  f"{_time.perf_counter() - _t2:.2f}s  rel={rel:.2e}",
+                  file=_sys.stderr, flush=True)
     else:
         outer = max_outer
         r = residual64(x)

@@ -167,3 +167,16 @@ def test_upload_sparse_roundtrip():
     got = np.asarray(_upload_sparse(x, jax.devices("cpu")[0]))
     assert got.shape == x.shape
     assert (got == x).all()
+
+
+def test_geneo_3d_laplacian():
+    """End-to-end GenEO-1 on the 3-D hexahedral Laplacian (the reference's
+    --dim 3 workload path, laplacian.cpp getInput)."""
+    mesh = laplacian.get_input("--size 6 --dim 3 --kappa 1000. quad")
+    out = solve_mesh(mesh, n_dom=8, pc_type="geneo", geneo=_opts("RAS,H1"),
+                     ksp=KSPOptions(type="cg", rtol=1e-8),
+                     driver=DriverOptions(add_overlap=1))
+    assert out.converged
+    assert out.pc.dim_e > 0
+    n = mesh.n_nodes
+    assert np.allclose(np.asarray(out.x), np.arange(1.0, n + 1), atol=1e-4)
