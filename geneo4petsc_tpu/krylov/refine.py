@@ -58,15 +58,22 @@ def make_pc_inner_solver(pc, inner_max_it: int = 2000,
     operator size (catastrophic on tunneled TPU compile services).  Keeping
     the pytree an argument compiles shape-polymorphically in seconds and
     lets one executable serve any same-shape operator."""
+    # efficient-hybrid contract (E-variants, hdr/geneo.hpp:21-23): every
+    # solve must start from the deflated guess X0 = Q B — here per outer
+    # correction, x0_k = Q r_k — or the simplified apply (which drops the
+    # (I - P^T) projection) is not equivalent to the full hybrid one
+    eff = bool(getattr(pc, "eff_hybrid", False))
     if ksp_type == "cg":
         @jax.jit
         def inner(pc_a, r32, rtol):
-            return cg_solve(pc_a.batch.matvec, r32, pc_a.apply, rtol=rtol,
-                            max_it=inner_max_it)
+            x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
+            return cg_solve(pc_a.batch.matvec, r32, pc_a.apply, x0=x0,
+                            rtol=rtol, max_it=inner_max_it)
     else:
         @jax.jit
         def inner(pc_a, r32, rtol):
-            return gmres_solve(pc_a.batch.matvec, r32, pc_a.apply,
+            x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
+            return gmres_solve(pc_a.batch.matvec, r32, pc_a.apply, x0=x0,
                                rtol=rtol, max_it=inner_max_it)
     return lambda r32, rtol: inner(pc, r32, rtol)
 
