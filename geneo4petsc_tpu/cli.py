@@ -356,6 +356,15 @@ def _print_info(res, drv, ksp, gen, pc_type, out):
                          f"max {st.real_dim_e.max()})"
                          f", nicolaides {st.nicolaides.sum()}")
                 print(line, file=out)
+                if st.e_null:
+                    # rank-deficient coarse operator: the spectral
+                    # pseudo-inverse fixed e_null null pivots (MUMPS
+                    # ICNTL(24) role); the PC is singular on those
+                    # directions and the default preconditioned norm
+                    # cannot see them — check the true residual
+                    print(f"WRNG: E is rank-deficient, {st.e_null} null "
+                          "pivots fixed (check the true residual)",
+                          file=out)
         else:
             print(line, file=out)
             if not drv.short_res:

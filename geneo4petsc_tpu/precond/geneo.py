@@ -48,6 +48,12 @@ class GenEOStats:
     tau_loc: np.ndarray       # [n_dom] local tau (GenEO-2)
     gamma_loc: np.ndarray     # [n_dom] local gamma (GenEO-2)
     eigenvalues: list = field(default_factory=list)  # per-domain kept spectra
+    # number of (near-)null modes of E fixed by the truncating spectral
+    # pseudo-inverse — the MUMPS ICNTL(24)/CNTL(5) null-pivot analogue.
+    # When > 0 the PC is singular on those directions and CG's default
+    # PRECONDITIONED norm is blind to them (the reference shares this
+    # property); callers should warn and/or check the true residual.
+    e_null: int = 0
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -817,6 +823,7 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
         ew_np, ev_np = bl.host_eigh(e)
         ew_np = np.asarray(ew_np)
         tol = dim_e * np.finfo(dtype).eps * np.abs(ew_np).max(initial=0.0)
+        stats.e_null = int((ew_np <= tol).sum())
         ew_np = np.where(ew_np > tol, ew_np, np.inf)  # truncated modes
     # round-trip through host numpy so the factors land on the default
     # (accelerator) device uncommitted

@@ -180,3 +180,32 @@ def test_geneo_3d_laplacian():
     assert out.pc.dim_e > 0
     n = mesh.n_nodes
     assert np.allclose(np.asarray(out.x), np.arange(1.0, n + 1), atol=1e-4)
+
+
+def test_rank_deficient_e_warns():
+    """dim_e > n_dof forces a rank-deficient E; the truncating spectral
+    pseudo-inverse (MUMPS null-pivot-fix analogue) must report the fixed
+    null-pivot count so callers know the preconditioned norm is blind on
+    those directions."""
+    mesh = laplacian.get_input("--size 20 --dim 2 --kappa 100000. quad")
+    g = _opts("SORAS,E2")
+    out = solve_mesh(mesh, n_dom=16, pc_type="geneo", geneo=g,
+                     ksp=KSPOptions(type="cg", rtol=1e-10, max_it=400),
+                     driver=DriverOptions(add_overlap=1))
+    assert out.pc.dim_e > mesh.n_nodes      # genuinely rank-deficient
+    assert out.stats.e_null > 0
+
+
+def test_rank_deficient_e_wrng_line():
+    import io
+
+    from geneo4petsc_tpu import cli
+
+    buf = io.StringIO()
+    rc = cli.run(["--inpLibA", "laplacian", "--inpLibArg",
+                  "--size 20 --dim 2 --kappa 100000. quad",
+                  "-pc_type", "geneo", "-geneo_lvl", "SORAS,E2",
+                  "--nbPart", "16", "--addOverlap", "1",
+                  "-ksp_type", "cg", "--verbose", "1"], out=buf)
+    assert rc == 0
+    assert "WRNG: E is rank-deficient" in buf.getvalue()
