@@ -96,7 +96,12 @@ def main():
         def tiny(xw):
             return jax.ops.segment_sum(xw[ids], ids, num_segments=17)
 
-        jax.block_until_ready(jax.jit(tiny)(jnp.ones(64, jnp.float32)))
+        r = jax.jit(tiny)(jnp.ones(64, jnp.float32))
+        jax.block_until_ready(r)
+        # also warm the device->host transfer path: the FIRST pull in a
+        # process pays a one-time service init (observed up to ~5 min in
+        # bad weather); a tiny pull here hides it behind host-side setup
+        np.asarray(r)
         _log("device gather/scatter warm-up compile finished")
 
     warm_thread = threading.Thread(target=_warm, daemon=True)
