@@ -209,3 +209,44 @@ def test_rank_deficient_e_wrng_line():
                   "-ksp_type", "cg", "--verbose", "1"], out=buf)
     assert rc == 0
     assert "WRNG: E is rank-deficient" in buf.getvalue()
+
+
+def test_device_pencils_match_host_construction():
+    """The accelerator-path pencil builders must produce exactly the same
+    operators as the host path (they only activate on real chips, so pin
+    their math here on CPU)."""
+    import jax.numpy as jnp
+
+    from geneo4petsc_tpu.assembly.assemble import assemble, robin_blocks
+    from geneo4petsc_tpu.partition.decompose import partition_and_decompose
+    from geneo4petsc_tpu.precond.geneo import (_dadird, _pencil_g2_device,
+                                               _pencil_tau_device,
+                                               _with_pad_diag)
+
+    mesh = laplacian.get_input("--size 10 --dim 2 --kappa 100. quad")
+    decomp = partition_and_decompose(mesh, 4, add_overlap=1)
+    batch = assemble(mesh, decomp, dtype=jnp.float32).batch
+    optim = 0.02
+
+    # GenEO-1 tau: (A_Neu steered, D A_Dir D)
+    a_dev, b_dev = _pencil_tau_device(batch.a_neu, batch.a_dir, batch.mult,
+                                      batch.mask, jnp.float32(1e6))
+    a_host = _with_pad_diag(batch.a_neu, batch.mask, 1e6)
+    assert (np.asarray(a_dev) == np.asarray(a_host)).all()
+    assert np.allclose(np.asarray(b_dev), np.asarray(_dadird(batch)),
+                       rtol=1e-6)
+
+    # GenEO-2 tau: (A_Neu steered, A_Rob)
+    a_rob = robin_blocks(batch, optim)
+    a_dev, b_dev = _pencil_g2_device(batch.a_neu, batch.a_dir, batch.mult,
+                                     batch.mask, jnp.float32(optim), "tau")
+    assert (np.asarray(a_dev) == np.asarray(a_host)).all()
+    assert np.allclose(np.asarray(b_dev), np.asarray(a_rob), rtol=1e-6)
+
+    # GenEO-2 gamma (swapped): (A_Rob steered, D A_Dir D)
+    a_dev, b_dev = _pencil_g2_device(batch.a_neu, batch.a_dir, batch.mult,
+                                     batch.mask, jnp.float32(optim), "gamma")
+    a_host_g = _with_pad_diag(a_rob, batch.mask, 1e6)
+    assert np.allclose(np.asarray(a_dev), np.asarray(a_host_g), rtol=1e-6)
+    assert np.allclose(np.asarray(b_dev), np.asarray(_dadird(batch)),
+                       rtol=1e-6)
