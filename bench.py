@@ -121,6 +121,10 @@ def main():
         # k = cut candidates per domain instead of the full local spectrum
         opts.els2.type = "lobpcg"
         opts.cut = 4
+        # NOTE: 30 LOBPCG iterations give the identical tau SELECTION at
+        # ~60% of the eigensolve cost, but the kept eigenVECTORS are less
+        # converged and CG iterations double (62 -> 126 at 1M) — the
+        # default 50 is the measured sweet spot end-to-end
     pc, stats = setup_geneo(ap.batch, opts, decomp=decomp, a_csr=ap.a_csr)
     jax.block_until_ready(pc.z_loc)
     t_setup = time.perf_counter() - t0
