@@ -170,12 +170,25 @@ def parse_args(argv: list[str]):
         elif a == "-els2_eps_tol":
             i += 1; gen.els2.rtol = float(need(i, a))
         elif a.startswith(("-dls1_", "-syl2_", "-els2_", "-dcs2_",
-                           "-ubl2_", "-chks_", "-chkr_", "-A", "-B")):
+                           "-ubl2_", "-chks_", "-chkr_",
+                           "-Amat_", "-Avec_", "-Bmat_", "-Bvec_")):
             # accepted-and-consumed: solver-implementation tuning knobs of
             # the reference's backends (mumps/superlu/...) have no TPU
-            # equivalent; consume the value token if one follows
-            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
-                i += 1
+            # equivalent ('-A'/'-B' are the reference's Mat/Vec object
+            # prefixes, geneo4PETSc.cpp:1309/1319).  Consume the value
+            # token if one follows — including negative numbers, which
+            # start with '-' but parse as floats.
+            if i + 1 < len(argv):
+                nxt = argv[i + 1]
+                is_value = not nxt.startswith("-")
+                if not is_value:
+                    try:
+                        float(nxt)
+                        is_value = True
+                    except ValueError:
+                        pass
+                if is_value:
+                    i += 1
         elif a == "-geneo_dbg":
             i += 1
             parts = need(i, a).split(",")

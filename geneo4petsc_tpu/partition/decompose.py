@@ -52,8 +52,15 @@ class Decomposition:
 
     def local_index(self, p: int, gids: np.ndarray) -> np.ndarray:
         """Global node ids -> local indices in domain p's sorted set."""
-        loc = np.searchsorted(self.dom_nodes[p], gids)
-        if np.any(self.dom_nodes[p][loc] != gids):
+        nodes = self.dom_nodes[p]
+        gids = np.asarray(gids)
+        loc = np.searchsorted(nodes, gids)
+        if len(nodes) == 0:
+            valid = np.zeros(loc.shape, dtype=bool)
+        else:
+            valid = (loc < len(nodes)) & \
+                (nodes[np.minimum(loc, len(nodes) - 1)] == gids)
+        if not np.all(valid):
             raise ValueError("Error: global index not found in local domain")
         return loc
 
@@ -202,15 +209,12 @@ def decompose_nodal_fast(mesh: ElementMesh, node_part: np.ndarray,
 
 def _ranges(sizes: np.ndarray) -> np.ndarray:
     """[0..s0-1, 0..s1-1, ...] for a vector of sizes (zero sizes allowed)."""
+    sizes = np.asarray(sizes, dtype=np.int64)
     total = int(sizes.sum())
     if total == 0:
         return np.zeros(0, np.int64)
-    out = np.ones(total, dtype=np.int64)
-    out[0] = 0
-    ends = np.cumsum(sizes)[:-1]
-    valid = ends < total
-    out[ends[valid]] = 1 - sizes[:-1][valid]
-    return np.cumsum(out)
+    starts = np.cumsum(sizes) - sizes
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
 
 
 def partition_and_decompose(mesh: ElementMesh, n_dom: int,

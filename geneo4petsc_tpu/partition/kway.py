@@ -266,7 +266,7 @@ def partition_mesh(mesh: ElementMesh, n_parts: int, dual: bool = True,
         from . import native
         if native.available():
             return native.partition_mesh(mesh, n_parts, dual)
-    except ImportError:
+    except (ImportError, OSError):
         pass
     return partition_mesh_py(mesh, n_parts, dual)
 

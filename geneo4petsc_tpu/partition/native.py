@@ -29,7 +29,11 @@ def _lib():
         "libg4pkway.so")
     if not os.path.exists(path):
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # incompatible platform or corrupt binary: fall back to NumPy
+        return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.g4p_kway_partition.restype = ctypes.c_int
     lib.g4p_kway_partition.argtypes = [ctypes.c_int64, i64p, i64p,

@@ -117,3 +117,23 @@ def test_structured_grid_partition():
     assert (sizes == 16).all()
     # node id = i + 8j: the first row (j=0, ids 0..7) spans exactly 2 bricks
     assert len(np.unique(part[:8])) == 2
+
+
+def test_ranges_zero_sizes():
+    # regression: zero-size segments must not corrupt later offsets
+    from geneo4petsc_tpu.partition.decompose import _ranges
+    assert _ranges(np.array([2, 0, 3])).tolist() == [0, 1, 0, 1, 2]
+    assert _ranges(np.array([0, 2])).tolist() == [0, 1]
+    assert _ranges(np.array([0, 0])).tolist() == []
+    assert _ranges(np.array([3])).tolist() == [0, 1, 2]
+
+
+def test_local_index_out_of_range(lap2d):
+    d = partition_and_decompose(lap2d, 4)
+    # a gid greater than every domain node must raise ValueError (not
+    # IndexError) — regression for the searchsorted out-of-bounds access
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        d.local_index(0, np.array([10 ** 9]))
+    loc = d.local_index(0, d.dom_nodes[0][:3])
+    assert loc.tolist() == [0, 1, 2]
