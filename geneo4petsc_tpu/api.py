@@ -31,6 +31,18 @@ class _FakeDecomp:
     GenEO-2 adaptive gamma."""
 
     intersections: list
+    adj: np.ndarray | None = None
+
+    def adjacency(self) -> np.ndarray:
+        if self.adj is None:
+            n = len(self.intersections)
+            a = np.zeros((n, n), dtype=bool)
+            for p, row in enumerate(self.intersections):
+                a[p] = np.fromiter(map(len, row), count=n,
+                                   dtype=np.int64) > 0
+            np.fill_diagonal(a, False)
+            self.adj = a
+        return self.adj
 
 
 def make_batch(n_dof: int,

@@ -42,6 +42,19 @@ class Decomposition:
     node_mult: np.ndarray   # [n_nodes] int64
     elem_mult: np.ndarray   # [n_elems] int64
     intersections: list     # [n_dom][n_dom] int64 arrays of LOCAL indices
+    adj: np.ndarray | None = None  # [n_dom, n_dom] bool, cached adjacency
+
+    def adjacency(self) -> np.ndarray:
+        """Boolean domain-intersection adjacency (diagonal False), derived
+        from the intersection lists and cached."""
+        if self.adj is None:
+            n = self.n_dom
+            a = np.zeros((n, n), dtype=bool)
+            for p, row in enumerate(self.intersections):
+                a[p] = np.fromiter(map(len, row), count=n, dtype=np.int64) > 0
+            np.fill_diagonal(a, False)
+            self.adj = a
+        return self.adj
 
     @property
     def dom_sizes(self) -> np.ndarray:
@@ -124,6 +137,7 @@ def decompose(mesh: ElementMesh, elem_part: np.ndarray, node_part: np.ndarray,
         node_mult[nodes] += 1
 
     intersections: list[list[np.ndarray]] = []
+    adj = np.zeros((n_dom, n_dom), dtype=bool)
     for p in range(n_dom):
         row: list[np.ndarray] = []
         for q in range(n_dom):
@@ -132,13 +146,15 @@ def decompose(mesh: ElementMesh, elem_part: np.ndarray, node_part: np.ndarray,
                 continue
             common = np.intersect1d(dom_nodes[p], dom_nodes[q],
                                     assume_unique=True)
+            adj[p, q] = len(common) > 0
             row.append(np.searchsorted(dom_nodes[p], common).astype(np.int64))
         intersections.append(row)
 
     return Decomposition(mesh=mesh, n_dom=n_dom, metis_dual=metis_dual,
                          add_overlap=add_overlap, elem_doms=elem_doms,
                          dom_nodes=dom_nodes, node_mult=node_mult,
-                         elem_mult=elem_mult, intersections=intersections)
+                         elem_mult=elem_mult, intersections=intersections,
+                         adj=adj)
 
 
 def decompose_nodal_fast(mesh: ElementMesh, node_part: np.ndarray,

@@ -239,7 +239,7 @@ def _tau_loc(mult: np.ndarray, mask: np.ndarray, tau: float, cst: bool
     return np.where(k > 0, t, tau)
 
 
-def _gamma_loc(intersections, n_dom: int, gamma: float, cst: bool
+def _gamma_loc(adj: np.ndarray, n_dom: int, gamma: float, cst: bool
                ) -> np.ndarray:
     """Local adaptive gamma (getLocalGenEOGamma, geneo.cpp:1120-1232).
 
@@ -249,19 +249,36 @@ def _gamma_loc(intersections, n_dom: int, gamma: float, cst: bool
     comment.  We reproduce the code's behavior, not the comment.
     C has unit diagonal; F_p = 1/rowsum(C); M = C * F F^T;
     gammaLoc_p = gamma / lambda_max(M) * F_p^2, clamped to 1.1 from below.
+
+    ``adj``: boolean domain-intersection adjacency (Decomposition.adjacency).
+    C = J - adj is DENSE (most domain pairs do not intersect), so for large
+    batches lambda_max is computed matrix-free on M = f f^T - adj o f f^T
+    (rank-1 minus sparse) with Lanczos — O(nnz(adj)) per matvec instead of
+    an O(n_dom^3) dense eigensolve.
     """
     if cst:
         return np.full(n_dom, gamma)
-    c = np.zeros((n_dom, n_dom))
-    for p in range(n_dom):
-        for q in range(n_dom):
-            if p == q:
-                c[p, q] = 1.0
-            else:
-                c[p, q] = 0.0 if len(intersections[p][q]) else 1.0
-    f = 1.0 / c.sum(axis=1)
-    m = c * f[:, None] * f[None, :]
-    lam = np.max(np.abs(np.linalg.eigvalsh(m)))
+    adj = np.asarray(adj, dtype=bool)
+    f = 1.0 / (n_dom - adj.sum(axis=1)).astype(np.float64)
+    if n_dom <= 1024:
+        m = np.where(adj, 0.0, 1.0) * f[:, None] * f[None, :]
+        lam = np.max(np.abs(np.linalg.eigvalsh(m)))
+    else:
+        import scipy.sparse as _sp
+        import scipy.sparse.linalg as _spla
+        rr, cc = np.nonzero(adj)
+        b = _sp.csr_matrix((np.ones(len(rr)), (rr, cc)),
+                           shape=(n_dom, n_dom))
+
+        def mv(v):
+            fv = f * v.ravel()
+            return f * fv.sum() - f * (b @ fv)
+
+        op = _spla.LinearOperator((n_dom, n_dom), matvec=mv,
+                                  dtype=np.float64)
+        v0 = np.full(n_dom, 1.0 / np.sqrt(n_dom))  # deterministic start
+        lam = float(abs(_spla.eigsh(op, k=1, which="LM", v0=v0,
+                                    return_eigenvectors=False)[0]))
     g = gamma / lam * f * f
     return np.where(g <= 1.0, 1.1, g)
 
@@ -517,8 +534,8 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
             cut = cut // 2
         a_rob = robin_blocks(batch, opts.optim)
         tl = _tau_loc(mult_np, mask_np, opts.tau, opts.cst)
-        gl = _gamma_loc(decomp.intersections if decomp is not None else
-                        [[np.zeros(0)] * n_dom] * n_dom,
+        gl = _gamma_loc(decomp.adjacency() if decomp is not None else
+                        np.zeros((n_dom, n_dom), dtype=bool),
                         n_dom, opts.gamma, opts.cst)
         stats.tau_loc, stats.gamma_loc = tl, gl
         # (19) of R4: A_Neu v = lambda A_Rob v, threshold tauLoc
@@ -694,9 +711,13 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
                 keep = [np.where(w_np[p] <= thr[p])[0]
                         for p in range(n_dom)]
             else:
-                # swapped-pencil Ritz values under-estimate lambda; a 1%
-                # margin keeps genuinely-above-threshold modes selected
-                keep = [np.where(w_np[p] >= 0.99 * thr[p])[0]
+                # exact [gamma, inf) interval filtering, matching the
+                # reference's post-solve filter (geneo.cpp:713-714).
+                # Near-threshold Ritz values of the swapped pencil can
+                # under-estimate lambda slightly; tests pin selection
+                # parity with the dense-eigh path on the dummy/heat
+                # GenEO-2 problems (tests/test_lobpcg.py).
+                keep = [np.where(w_np[p] >= thr[p])[0]
                         for p in range(n_dom)]
             estim = (lobpcg_estim if lobpcg_estim is not None
                      else np.zeros(n_dom, np.int64))

@@ -103,3 +103,62 @@ def test_geneo2_lobpcg_matches_eigh():
     # on near-threshold modes, like the reference's krylovschur at 1e-3)
     assert outs["lobpcg"].its <= outs["eigh"].its + 5
     assert outs["lobpcg"].pc.dim_e >= int(outs["eigh"].pc.dim_e * 0.85)
+
+
+def test_geneo2_selection_parity_dummy_heat():
+    """LOBPCG and dense-eigh must KEEP IDENTICAL per-domain column counts
+    on the GenEO-2 dummy and heat problems — exact [0,tau] / [gamma,inf)
+    interval filtering with no margin (geneo.cpp:713-714)."""
+    from geneo4petsc_tpu.io.element_input import read_input_file
+    from geneo4petsc_tpu.models import heat
+    from geneo4petsc_tpu.precond.geneo import setup_geneo
+
+    cases = [
+        (read_input_file("/root/reference/tst/dummy/tridiag.inp"), 2),
+        (read_input_file("/root/reference/tst/dummy/identity.inp"), 2),
+        (heat.get_input("--size 12 --dim 2 --kappa 10000. minmax"), 4),
+    ]
+    for mesh, n_dom in cases:
+        decomp = partition_and_decompose(mesh, n_dom, add_overlap=1)
+        ap = assemble(mesh, decomp)
+        counts = {}
+        for els in ("eigh", "lobpcg"):
+            g = GenEOOptions()
+            g.lvl1, g.lvl2 = "SORAS", "2"
+            g.els2.type = els
+            _pc, st = setup_geneo(ap.batch, g, decomp=decomp)
+            counts[els] = st.real_dim_e.copy()
+        np.testing.assert_array_equal(counts["eigh"], counts["lobpcg"])
+
+
+def test_gamma_loc_matrix_free_matches_dense():
+    """_gamma_loc's Lanczos path (n_dom > 1024) must reproduce the dense
+    eigvalsh path; adjacency from Decomposition is cached."""
+    from geneo4petsc_tpu.precond.geneo import _gamma_loc
+
+    rng = np.random.default_rng(3)
+    n = 1400
+    adj = np.zeros((n, n), bool)
+    idx = rng.integers(0, n, size=(4 * n, 2))
+    adj[idx[:, 0], idx[:, 1]] = True
+    adj |= adj.T
+    np.fill_diagonal(adj, False)
+    g_sparse = _gamma_loc(adj, n, 10.0, False)
+    # dense reference computed directly
+    f = 1.0 / (n - adj.sum(axis=1)).astype(np.float64)
+    m = np.where(adj, 0.0, 1.0) * f[:, None] * f[None, :]
+    lam = np.max(np.abs(np.linalg.eigvalsh(m)))
+    g_dense = np.where(10.0 / lam * f * f <= 1.0, 1.1, 10.0 / lam * f * f)
+    np.testing.assert_allclose(g_sparse, g_dense, rtol=1e-10)
+
+
+def test_decomposition_adjacency_cached():
+    mesh = laplacian.get_input("--size 10 --dim 2")
+    d = partition_and_decompose(mesh, 4, add_overlap=1)
+    a = d.adjacency()
+    assert a is d.adjacency()            # cached
+    assert a.dtype == bool and not a.diagonal().any()
+    # adjacency must mirror nonempty intersection lists
+    for p in range(4):
+        for q in range(4):
+            assert a[p, q] == (len(d.intersections[p][q]) > 0)
