@@ -1,0 +1,142 @@
+"""Batched block-tridiagonal Schur-complement factorization and solves.
+
+The reference factors every subdomain operator with MUMPS sparse LU
+(directLocalSolve, src/geneo.cpp:94-124).  On a tensor grid the local
+operator is block-tridiagonal over planes (7-point stencil: planes couple
+only to their neighbors, through a DIAGONAL coupling block).  The
+TPU-native direct solver is therefore the block-Thomas / Schur recursion:
+
+    S_0 = D_0,   S_i = D_i - C_{i-1} S_{i-1}^{-1} C_{i-1}^T
+
+storing W_i = S_i^{-1} (dense [s2, s2], SPD).  Because C_i is diagonal
+(c_i), the solve needs NO off-diagonal fill at all:
+
+    forward   v_0 = W_0 x_0,        v_i = W_i (x_i - c_{i-1} * v_{i-1})
+    backward  u_{P-1} = v_{P-1},    u_i = v_i - W_i (c_i * u_{i+1})
+
+Every step is one batched [n_dom, s2, s2] x [n_dom, s2, k] matmul on the
+MXU.  Memory = n_loc * s2 per domain — the banded-Cholesky footprint,
+~20x below the dense-block representation at 10M DOF — and the factor can
+be stored in bf16: the resulting operator is the EXACT solve of a nearby
+SPD matrix (W rounding perturbs S_i symmetrically), so it stays a valid,
+symmetric, fixed preconditioner for CG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+
+def spd_inverse(m: jax.Array) -> jax.Array:
+    """Batched SPD inverse: Cholesky + two triangular solves vs identity."""
+    fac = jnp.linalg.cholesky(m)
+    n = m.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=m.dtype), m.shape)
+    y = jsl.solve_triangular(fac, eye, lower=True)
+    return jsl.solve_triangular(jnp.swapaxes(fac, -1, -2), y, lower=False)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["w", "c"], meta_fields=[])
+@dataclass(frozen=True)
+class BlockTridiagFactor:
+    """w: [P, n_dom, s2, s2] Schur-complement inverses (factor dtype);
+    c: [P-1, n_dom, s2] diagonal inter-plane couplings."""
+
+    w: jax.Array
+    c: jax.Array
+
+    @property
+    def n_planes(self) -> int:
+        return self.w.shape[0]
+
+
+def _assemble_plane(diag_row, inplane_rows, strides, s2):
+    """One dense plane block [n_dom, s2, s2] from stencil coefficients."""
+    n_dom = diag_row.shape[0]
+    r = jnp.arange(s2)
+    d = jnp.zeros((n_dom, s2, s2), diag_row.dtype)
+    d = d.at[:, r, r].set(diag_row)
+    for coeff, stride in zip(inplane_rows, strides):
+        rr = r[: s2 - stride]
+        d = d.at[:, rr, rr + stride].add(coeff[:, : s2 - stride])
+        d = d.at[:, rr + stride, rr].add(coeff[:, : s2 - stride])
+    return d
+
+
+def bt_factor(diag_p: jax.Array, inplane, c: jax.Array,
+              factor_dtype=None) -> BlockTridiagFactor:
+    """Factor the batched block-tridiagonal operator.
+
+    diag_p:  [n_dom, P, s2] plane diagonals
+    inplane: [(coeff [n_dom, P, s2], stride)] in-plane couplings
+    c:       [n_dom, P-1, s2] inter-plane diagonal couplings
+    factor_dtype: storage dtype of W (bf16 halves HBM at scale; the scan
+    itself runs in the input dtype for accuracy).
+
+    Plane blocks are assembled ON THE FLY inside the scan — the dense
+    [n_dom, P, s2, s2] operator never materializes.
+    """
+    n_dom, p, s2 = diag_p.shape
+    dtype = diag_p.dtype
+    factor_dtype = factor_dtype or dtype
+    strides = tuple(st for _, st in inplane)
+    coeffs = jnp.stack([cf for cf, _ in inplane], axis=0) \
+        if inplane else jnp.zeros((0, n_dom, p, s2), dtype)
+    c_in = jnp.concatenate([jnp.zeros((n_dom, 1, s2), dtype), c], axis=1)
+
+    def step(w_prev, inputs):
+        diag_row, inrows, c_prev = inputs
+        d = _assemble_plane(diag_row, inrows, strides, s2)
+        s = d - (c_prev[:, :, None] * c_prev[:, None, :]) * w_prev
+        w = spd_inverse(s)
+        return w, w.astype(factor_dtype)
+
+    xs = (jnp.moveaxis(diag_p, 1, 0),           # [P, n_dom, s2]
+          jnp.moveaxis(coeffs, 2, 0),           # [P, n_in, n_dom, s2]
+          jnp.moveaxis(c_in, 1, 0))             # [P, n_dom, s2]
+    w0 = jnp.zeros((n_dom, s2, s2), dtype)
+    _, w_all = jax.lax.scan(step, w0, xs)
+    return BlockTridiagFactor(w=w_all, c=jnp.moveaxis(c, 1, 0))
+
+
+def bt_solve(fac: BlockTridiagFactor, x: jax.Array) -> jax.Array:
+    """Solve A u = x; x: [n_dom, P, s2] or [n_dom, P, s2, k]."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[..., None]
+    dtype = x.dtype
+    xs = jnp.moveaxis(x, 1, 0)                  # [P, n_dom, s2, k]
+    n_dom, s2, k = xs.shape[1:]
+    c_pad = jnp.concatenate(
+        [jnp.zeros((1, n_dom, s2), fac.c.dtype), fac.c], axis=0)
+
+    def fwd(v_prev, inputs):
+        x_i, w_i, c_prev = inputs
+        rhs = x_i - c_prev[:, :, None] * v_prev
+        v = jnp.einsum("dij,djk->dik", w_i, rhs,
+                       preferred_element_type=dtype)
+        return v, v
+
+    v0 = jnp.zeros((n_dom, s2, k), dtype)
+    _, v_all = jax.lax.scan(fwd, v0, (xs, fac.w, c_pad))
+
+    c_up = jnp.concatenate(
+        [fac.c, jnp.zeros((1, n_dom, s2), fac.c.dtype)], axis=0)
+
+    def bwd(u_next, inputs):
+        v_i, w_i, c_i = inputs
+        u = v_i - jnp.einsum("dij,djk->dik", w_i,
+                             c_i[:, :, None] * u_next,
+                             preferred_element_type=dtype)
+        return u, u
+
+    _, u_rev = jax.lax.scan(bwd, jnp.zeros_like(v0),
+                            (v_all, fac.w, c_up), reverse=True)
+    u = jnp.moveaxis(u_rev, 0, 1)
+    return u[..., 0] if squeeze else u

@@ -1,0 +1,262 @@
+"""Per-domain local operators in stencil form, built ON DEVICE.
+
+The generic path materializes dense [n_dom, n_max, n_max] Neumann and
+Dirichlet blocks (assembly/assemble.py).  Here each local operator is four
+coefficient fields over the local box — diag + one off-diagonal per axis —
+O(n_loc) memory, assembled on the accelerator from halo-gathered global
+fields.  Semantics mirror the reference exactly:
+
+* Neumann block = sum of member-element contributions weighted by
+  1/elem_mult (the MatIS local block, geneo4PETSc.cpp:473-476 + 683-715);
+  an edge is a member iff both endpoints lie in the dilated box, so edges
+  leaving the box contribute NOTHING (the Neumann property).
+* Dirichlet block = assembled global A restricted to the box
+  (MatCreateSubMatrices, src/geneo.cpp:1697-1705): full assembled diagonal,
+  off-diagonals kept only when the neighbor is inside the box.
+* Robin = Dirichlet + optim * (border-restricted Neumann), border = nodes
+  with multiplicity > 1 (createRobinMatrix, src/geneo.cpp:1613-1670).
+
+Pad (out-of-grid) slots carry identity rows/cols — the module-wide inert
+padding convention.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import halo
+from .decompose import StructuredDecomposition
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["diag", "offs"], meta_fields=[])
+@dataclass(frozen=True)
+class LocalStencil:
+    """Batched local stencil operator.
+
+    diag: [n_dom, lz, ly, lx]
+    offs: tuple of 3 arrays, offs[a][..., v] = coefficient of the local
+          edge (v, v + e_a) stored at v (0 where absent).  Off-diagonal
+          VALUE of the operator (i.e. A[v, v+e_a]), not its negation.
+    """
+
+    diag: jax.Array
+    offs: tuple
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """Batched SpMV: x [n_dom, lz, ly, lx] or [..., k]."""
+        extra = x.ndim - self.diag.ndim
+        d = self.diag[(...,) + (None,) * extra] if extra else self.diag
+        y = d * x
+        for a, c in enumerate(self.offs):
+            ax = 3 - a                      # local array axis for x/y/z
+            if x.shape[ax] == 1:
+                continue
+            ce = c[(...,) + (None,) * extra] if extra else c
+            lo = [slice(None)] * x.ndim
+            hi = [slice(None)] * x.ndim
+            lo[ax] = slice(None, -1)
+            hi[ax] = slice(1, None)
+            lo, hi = tuple(lo), tuple(hi)
+            cl = ce[lo]
+            y = y.at[lo].add(cl * x[hi])
+            y = y.at[hi].add(cl * x[lo])
+        return y
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["kappa", "diag", "mult", "emult", "mask", "bc"],
+         meta_fields=["grid_shape", "dom_grid", "pad", "inp_eps"])
+@dataclass(frozen=True)
+class LocalFields:
+    """Halo-gathered per-domain raw fields ([n_dom, lz, ly, lx] each)."""
+
+    kappa: jax.Array
+    diag: jax.Array          # assembled global diagonal
+    mult: jax.Array          # node multiplicity (float)
+    emult: tuple             # per-axis edge multiplicity (float, 0 absent)
+    mask: jax.Array          # bool: real grid node
+    bc: jax.Array            # bool: node carries the Dirichlet ghost
+    grid_shape: tuple
+    dom_grid: tuple
+    pad: tuple
+    inp_eps: float
+
+
+def gather_fields(sd: StructuredDecomposition, dtype=jnp.float32
+                  ) -> LocalFields:
+    """Host fields -> device halo-gathered local batches (one upload)."""
+    g = sd.grid
+
+    def up(h):
+        a = jnp.asarray(np.asarray(h, np.float64).ravel(), dtype)
+        return halo.to_batch(halo.halo_gather(a, g.shape, sd.dom_grid,
+                                              sd.pad))
+
+    kappa = up(g.kappa)
+    diag = up(g.diag())
+    mult = up(sd.node_mult().astype(np.float64))
+    emult = tuple(up(sd.edge_mult(a).astype(np.float64)) for a in range(3))
+    mask = up(np.ones(g.n_nodes)) > 0
+    bc = up(g.bc_mask().astype(np.float64)) > 0
+    return LocalFields(kappa=kappa, diag=diag, mult=mult, emult=emult,
+                       mask=mask, bc=bc, grid_shape=g.shape,
+                       dom_grid=sd.dom_grid, pad=sd.pad,
+                       inp_eps=g.inp_eps)
+
+
+def _edge_ok(mask: jax.Array, a: int):
+    """(lo_slice, hi_slice, both-endpoints-in-grid mask on the lo slice)."""
+    ax = 3 - a
+    nd = mask.ndim
+    lo = [slice(None)] * nd
+    hi = [slice(None)] * nd
+    lo[ax] = slice(None, -1)
+    hi[ax] = slice(1, None)
+    lo, hi = tuple(lo), tuple(hi)
+    return lo, hi, mask[lo] & mask[hi]
+
+
+def neumann_stencil(f: LocalFields) -> LocalStencil:
+    """Weighted local Neumann operator (the MatIS local block)."""
+    w = 1.0 + f.inp_eps
+    diag = jnp.zeros_like(f.kappa)
+    offs = []
+    for a in range(3):
+        lo, hi, ok = _edge_ok(f.mask, a)
+        if f.kappa.shape[3 - a] == 1:
+            offs.append(jnp.zeros_like(f.kappa))
+            continue
+        # edge coefficient / its membership weight; emult >= 1 wherever
+        # the edge exists (overlap >= 1 covers every edge)
+        ce = jnp.where(ok & (f.emult[a][lo] > 0),
+                       f.kappa[lo] / jnp.maximum(f.emult[a][lo], 1.0), 0.0)
+        off = jnp.zeros_like(f.kappa)
+        off = off.at[lo].set(-ce)
+        offs.append(off)
+        diag = diag.at[lo].add(w * ce)
+        diag = diag.at[hi].add(w * ce)
+    # Dirichlet ghost elements: weight 1/node_mult (they belong to every
+    # domain containing the node)
+    diag = diag + jnp.where(f.bc, w * f.kappa / f.mult, 0.0)
+    diag = jnp.where(f.mask, diag, 1.0)       # pad identity
+    return LocalStencil(diag=diag, offs=tuple(offs))
+
+
+def dirichlet_stencil(f: LocalFields) -> LocalStencil:
+    """Assembled-A-restricted-to-box operator (the Dirichlet block)."""
+    offs = []
+    for a in range(3):
+        lo, hi, ok = _edge_ok(f.mask, a)
+        if f.kappa.shape[3 - a] == 1:
+            offs.append(jnp.zeros_like(f.kappa))
+            continue
+        off = jnp.zeros_like(f.kappa)
+        off = off.at[lo].set(jnp.where(ok, -f.kappa[lo], 0.0))
+        offs.append(off)
+    diag = jnp.where(f.mask, f.diag, 1.0)
+    return LocalStencil(diag=diag, offs=tuple(offs))
+
+
+def robin_stencil(f: LocalFields, optim: float) -> LocalStencil:
+    """Dirichlet + optim * border-restricted Neumann (ORAS/SORAS)."""
+    neu = neumann_stencil(f)
+    dir_ = dirichlet_stencil(f)
+    border = (f.mult > 1.0) & f.mask
+    diag = dir_.diag + optim * jnp.where(
+        border, neu.diag - jnp.where(f.mask, 0.0, 1.0), 0.0)
+    offs = []
+    for a in range(3):
+        lo, hi, _ = _edge_ok(f.mask, a)
+        if f.kappa.shape[3 - a] == 1:
+            offs.append(dir_.offs[a])
+            continue
+        sel = jnp.zeros_like(border)
+        sel = sel.at[lo].set(border[lo] & border[hi])
+        offs.append(dir_.offs[a] + optim * jnp.where(sel, neu.offs[a], 0.0))
+    return LocalStencil(diag=diag, offs=tuple(offs))
+
+
+# ---------------- plane-block form (for block-tridiag factorization) ------
+
+def plane_axis(local_shape) -> int:
+    """Axis (0=x, 1=y, 2=z) used as the plane-sweep direction: the LONGEST
+    local extent, so the plane size s2 (= product of the two others) — and
+    with it the Schur factor footprint n_loc * s2 — is minimal."""
+    return int(np.argmax(local_shape))
+
+
+def to_planes(x: jax.Array, axis: int) -> jax.Array:
+    """[n_dom, lz, ly, lx(, k)] -> [n_dom, P, s2(, k)] with P = extent of
+    `axis` and s2 = the flattened remaining two local axes."""
+    extra = x.ndim - 4
+    ax = 3 - axis
+    order = (0, ax) + tuple(i for i in (1, 2, 3) if i != ax) \
+        + tuple(4 + i for i in range(extra))
+    xt = x.transpose(order)
+    n_dom, p = xt.shape[0], xt.shape[1]
+    s2 = xt.shape[2] * xt.shape[3]
+    return xt.reshape((n_dom, p, s2) + x.shape[4:])
+
+
+def from_planes(xp: jax.Array, axis: int, local_shape) -> jax.Array:
+    """Inverse of to_planes."""
+    sx, sy, sz = local_shape
+    dims = {1: sz, 2: sy, 3: sx}          # local array axis -> extent
+    ax = 3 - axis
+    rest = [dims[i] for i in (1, 2, 3) if i != ax]
+    extra = xp.shape[3:]
+    n_dom, p = xp.shape[0], xp.shape[1]
+    xt = xp.reshape((n_dom, p, rest[0], rest[1]) + extra)
+    # forward perm: target = x.transpose(order), order = (0, ax, others...)
+    order = (0, ax) + tuple(i for i in (1, 2, 3) if i != ax)
+    inv = tuple(int(i) for i in np.argsort(np.asarray(order)))
+    return xt.transpose(inv + tuple(4 + i for i in range(len(extra))))
+
+
+def plane_coefficients(st: LocalStencil, axis: int):
+    """Stencil -> (diag_p [n_dom, P, s2], in-plane offs [(arrays, strides)],
+    inter-plane coupling c [n_dom, P-1, s2]).
+
+    In-plane offsets are returned as (coeff [n_dom, P, s2], stride) pairs:
+    coeff[..., r] couples plane slot r with r + stride (zero where the
+    edge wraps a row or is absent)."""
+    local = st.diag.shape[1:]            # (lz, ly, lx)
+    dims_xyz = (local[2], local[1], local[0])   # extents per x/y/z axis
+    diag_p = to_planes(st.diag, axis)
+    inplane = []
+    # the two non-plane axes, in the order they appear inside a plane
+    # (to_planes keeps the remaining local axes in (z, y, x) order)
+    rest_axes = [a for a in (2, 1, 0) if a != axis]   # e.g. plane=z -> [y, x]
+    # fastest-varying axis inside the flattened plane is the LAST one
+    strides = {}
+    stride = 1
+    for a in reversed(rest_axes):
+        strides[a] = stride
+        stride *= dims_xyz[a]
+    for a in rest_axes:
+        c = to_planes(st.offs[a], axis)   # coupling (r, r+stride[a])
+        inplane.append((c, strides[a]))
+    cax = to_planes(st.offs[axis], axis)  # [n_dom, P, s2]; last plane zero
+    c = cax[:, :-1]
+    return diag_p, inplane, c
+
+
+def plane_blocks(diag_p, inplane):
+    """Dense plane blocks D [n_dom, P, s2, s2] from plane coefficients —
+    used by the factorization scan one plane at a time (callers slice)."""
+    n_dom, p, s2 = diag_p.shape
+    r = jnp.arange(s2)
+    d = jnp.zeros((n_dom, p, s2, s2), diag_p.dtype)
+    d = d.at[:, :, r, r].set(diag_p)
+    for coeff, stride in inplane:
+        rr = r[:-stride] if stride else r
+        d = d.at[:, :, rr, rr + stride].add(coeff[:, :, :s2 - stride])
+        d = d.at[:, :, rr + stride, rr].add(coeff[:, :, :s2 - stride])
+    return d
