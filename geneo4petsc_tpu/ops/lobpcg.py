@@ -47,6 +47,75 @@ def _whiten(s, bs):
             alive)
 
 
+def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40):
+    """Matrix-free batched LOBPCG: smallest eigenpairs of the pencil
+    (A, B) given only batched block matvec callables.
+
+    a_op/b_op/t_op: [d, n, m] -> [d, n, m] (operator, metric, and
+    preconditioner ~ shifted inverse — the ARPACK STSINVERT analogue).
+    x0: [d, n, k] initial block (columns must avoid exact invariant
+    subspaces; pass a masked preconditioned Gaussian block).
+
+    Same algorithm and robustness choices as ``batched_lobpcg`` (eigh
+    whitening with dead-direction truncation + Ritz steering), but the
+    operators never materialize — this is the scale path used by the
+    structured/FDM backend where n_loc is 10^5+ and a dense [d, n, n]
+    pencil is impossible.  Returns (w [d, k] ascending, v [d, n, k],
+    res [d, k] relative residuals).  Callers jit.
+    """
+    k = x0.shape[-1]
+    dtype = x0.dtype
+
+    def rayleigh_ritz(s, bs):
+        s, bs, alive = _whiten(s, bs)
+        as_ = a_op(s)
+        h = jnp.einsum("dnm,dnk->dmk", s, as_, preferred_element_type=dtype)
+        h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
+        big = jnp.asarray(1e30, dtype)
+        m = h.shape[-1]
+        h = h + jnp.where(alive, 0.0, big)[..., :, None] * \
+            jnp.eye(m, dtype=dtype)
+        theta, c = jnp.linalg.eigh(h)
+        return s, theta, c
+
+    def body(carry, _):
+        x, p = carry
+        bx = b_op(x)
+        x, bx, _ = _whiten(x, bx)
+        ax = a_op(x)
+        lam = jnp.einsum("dnm,dnm->dm", x, ax)
+        r = ax - bx * lam[:, None, :]
+        w = t_op(r)
+        s = jnp.concatenate([x, w, p], axis=-1)
+        bs = b_op(s)
+        s_t, theta, c = rayleigh_ritz(s, bs)
+        cx = c[..., :k]
+        x_new = jnp.einsum("dnm,dmk->dnk", s_t, cx,
+                           preferred_element_type=dtype)
+        c_wp = cx.at[:, :k, :].set(0.0)
+        p_new = jnp.einsum("dnm,dmk->dnk", s_t, c_wp,
+                           preferred_element_type=dtype)
+        return (x_new, p_new), None
+
+    (x, _p), _ = jax.lax.scan(body, (x0, jnp.zeros_like(x0)), None,
+                              length=max_it)
+
+    bx = b_op(x)
+    x, bx, _ = _whiten(x, bx)
+    ax = a_op(x)
+    h = jnp.einsum("dnm,dnk->dmk", x, ax, preferred_element_type=dtype)
+    h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
+    theta, c = jnp.linalg.eigh(h)
+    v = jnp.einsum("dnm,dmk->dnk", x, c, preferred_element_type=dtype)
+    av = a_op(v)
+    bv = b_op(v)
+    r = av - bv * theta[:, None, :]
+    rn = jnp.linalg.norm(r, axis=1)
+    scale = jnp.linalg.norm(av, axis=1) + jnp.abs(theta) * \
+        jnp.linalg.norm(bv, axis=1) + jnp.finfo(dtype).tiny
+    return theta, v, rn / scale
+
+
 @partial(jax.jit, static_argnames=("k", "max_it"))
 def batched_lobpcg(a: jax.Array, b: jax.Array, k: int,
                    max_it: int = 40, shift: float = 0.1,
