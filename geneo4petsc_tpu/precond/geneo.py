@@ -54,6 +54,10 @@ class GenEOStats:
     # PRECONDITIONED norm is blind to them (the reference shares this
     # property); callers should warn and/or check the true residual.
     e_null: int = 0
+    # iterative-eigensolver relative residuals [n_dom, k] (None for the
+    # dense-eigh route) — surfaced so callers can flag unconverged pairs
+    # (the checkEPSSolve role, src/geneo.cpp:577-624)
+    lobpcg_res: np.ndarray | None = None
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -326,6 +330,39 @@ def _select_columns(w: np.ndarray, kind: str, thr: np.ndarray,
 def _scatter_fill(idx: jax.Array, val: jax.Array, size: int) -> jax.Array:
     return jnp.zeros(size, val.dtype).at[idx].set(
         val, unique_indices=True, indices_are_sorted=True)
+
+
+def factor_e(e: np.ndarray, dtype) -> tuple[np.ndarray, np.ndarray, int]:
+    """Factor the coarse operator E (host LAPACK).
+
+    Returns (W, ew, e_null) with E^-1 applied as W diag(1/ew) W^T.
+    Fast path: E is SPD when the selected columns are independent, so a
+    Cholesky factor L with W := L^{-T} gives E^{-1} = W diag(1) W^T —
+    the exact spectral-apply layout (apply_q) at a fraction of eigh's
+    cost (LAPACK dpotrf+dtrtri is ~7x cheaper than dsyevd at dim_e~8k).
+    The spectral pseudo-inverse stays as the fallback for (near-)singular
+    E — the MUMPS null-pivot-fix analogue (geneo.cpp ICNTL(24)/CNTL(5));
+    e_null counts the truncated modes."""
+    dim_e = e.shape[0]
+    if dim_e > 0:
+        try:
+            c = np.linalg.cholesky(e)
+            dg = np.diagonal(c)
+            # numerically near-singular E must take the truncating
+            # spectral fallback even when dpotrf happens to succeed
+            if dg.min() ** 2 > dim_e * np.finfo(dtype).eps * dg.max() ** 2:
+                from scipy.linalg.lapack import dtrtri as _dtrtri
+                linv, info = _dtrtri(c, lower=1)
+                if info == 0:
+                    return np.ascontiguousarray(linv.T), np.ones(dim_e), 0
+        except np.linalg.LinAlgError:
+            pass
+    ew_np, ev_np = bl.host_eigh(e)
+    ew_np = np.asarray(ew_np)
+    tol = dim_e * np.finfo(dtype).eps * np.abs(ew_np).max(initial=0.0)
+    e_null = int((ew_np <= tol).sum())
+    ew_np = np.where(ew_np > tol, ew_np, np.inf)  # truncated modes
+    return np.asarray(ev_np), ew_np, e_null
 
 
 def _upload_sparse(x, dev) -> jax.Array:
@@ -819,33 +856,7 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     e = np.asarray((zg_sp.T @ (a_sp @ zg_sp)).todense())
     e = 0.5 * (e + e.T)
     _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
-    # Fast path: E is SPD when the selected columns are independent, so a
-    # Cholesky factor L with W := L^{-T} gives E^{-1} = W diag(1) W^T —
-    # the exact spectral-apply layout (apply_q) at a fraction of eigh's
-    # cost (LAPACK dpotrf+dtrtri is ~7x cheaper than dsyevd at dim_e~8k).
-    # The spectral pseudo-inverse stays as the fallback for (near-)singular
-    # E — the MUMPS null-pivot-fix analogue (geneo.cpp ICNTL(24)/CNTL(5)).
-    ev_np = None
-    if dim_e > 0:
-        try:
-            c = np.linalg.cholesky(e)
-            dg = np.diagonal(c)
-            # numerically near-singular E must take the truncating
-            # spectral fallback even when dpotrf happens to succeed
-            if dg.min() ** 2 > dim_e * np.finfo(dtype).eps * dg.max() ** 2:
-                from scipy.linalg.lapack import dtrtri as _dtrtri
-                linv, info = _dtrtri(c, lower=1)
-                if info == 0:
-                    ev_np = np.ascontiguousarray(linv.T)  # W = L^{-T}
-                    ew_np = np.ones(dim_e)
-        except np.linalg.LinAlgError:
-            pass
-    if ev_np is None:
-        ew_np, ev_np = bl.host_eigh(e)
-        ew_np = np.asarray(ew_np)
-        tol = dim_e * np.finfo(dtype).eps * np.abs(ew_np).max(initial=0.0)
-        stats.e_null = int((ew_np <= tol).sum())
-        ew_np = np.where(ew_np > tol, ew_np, np.inf)  # truncated modes
+    ev_np, ew_np, stats.e_null = factor_e(e, dtype)
     # round-trip through host numpy so the factors land on the default
     # (accelerator) device uncommitted
     ev = jnp.asarray(np.asarray(ev_np), dtype)

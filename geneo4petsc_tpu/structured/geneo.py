@@ -1,0 +1,468 @@
+"""Structured GenEO preconditioner — the 10M+ DOF scale path.
+
+The same two-level Schwarz mathematics as precond/geneo.py (and
+src/geneo.cpp), rebuilt on the structured backend:
+
+  * local direct solves  -> fast-diagonalization (fdm.py) instead of
+    dense Cholesky blocks: O(L^2) factor memory, exact solves as batched
+    MXU matmuls (the MUMPS replacement, src/geneo.cpp:94-124);
+  * halo exchange        -> block-grid shifts (halo.py) instead of
+    gather/segment_sum (VecScatter analogue, src/geneo.cpp:1845-1900);
+  * GenEO-1 eigensolve   -> matrix-free batched LOBPCG on the stencil
+    pencil (A_Neu, D A_Dir D) with the exact FDM shifted inverse as the
+    shift-invert preconditioner (ARPACK STSINVERT, src/geneo.cpp:635-650);
+  * E = Z^T A Z          -> per-offset window contractions: A z_d is
+    computed with a one-layer-dilated Dirichlet stencil, and each
+    neighbor block of E is one batched [n_dom, k, k] einsum over the
+    static box-intersection windows (MatPtAP, src/geneo.cpp:1033).
+
+Supported configurations: lvl1 in {ASM, RAS, SRAS}, lvl2 in
+{0, 1, H1, E1}.  ORAS/SORAS (border-restricted Robin blocks) and GenEO-2
+break kappa-separability and stay on the generic / block-tridiagonal
+paths.  Setup is host-orchestrated (static coarse shapes before compile),
+apply is pure and jit/shard_map-able.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from itertools import product
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GenEOOptions
+from ..ops.lobpcg import matfree_lobpcg
+from ..precond.geneo import GenEOStats, factor_e
+from . import fdm, halo
+from . import local_ops as lo
+from .decompose import StructuredDecomposition
+from .grid import GlobalStencil, global_stencil
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["gop", "l1", "pou", "maskf", "z", "colids",
+                      "e_evecs", "e_eig_inv", "x0"],
+         meta_fields=["grid_shape", "dom_grid", "pad", "local_shape",
+                      "lvl1", "lvl2", "hybrid", "eff_hybrid", "dim_e",
+                      "k_max"])
+@dataclass(frozen=True)
+class StructuredGenEO:
+    """Immutable setup product; ``apply`` is the per-iteration hot path.
+
+    Mirrors GenEOPreconditioner.apply semantics exactly (applyGenEOPC,
+    src/geneo.cpp:2051-2098) so iteration counts match the generic path.
+    """
+
+    # --- static configuration ---
+    grid_shape: tuple
+    dom_grid: tuple
+    pad: tuple
+    local_shape: tuple
+    lvl1: str          # ASM | RAS | SRAS
+    lvl2: int          # 0 | 1
+    hybrid: bool
+    eff_hybrid: bool
+    dim_e: int
+    k_max: int
+    # --- data ---
+    gop: GlobalStencil           # assembled global operator (iteration SpMV)
+    l1: fdm.FDMFactor            # Dirichlet FDM factor (level-1 solves)
+    pou: jax.Array | None        # [d, lz, ly, lx] partition of unity
+    maskf: jax.Array             # [d, lz, ly, lx] float real-slot mask
+    z: jax.Array | None          # [d, lz, ly, lx, k_max] D-weighted basis
+    colids: jax.Array | None     # [d, k_max] int32 (pad -> dim_e)
+    e_evecs: jax.Array | None    # [K, K] coarse factor W (E^-1 = W D W^T)
+    e_eig_inv: jax.Array | None  # [K]
+    x0: jax.Array                # [n] initial guess (Q b if eff-hybrid)
+
+    # ---------------- halo plumbing ----------------
+    def _gather(self, x: jax.Array) -> jax.Array:
+        return halo.to_batch(halo.halo_gather(
+            x, self.grid_shape, self.dom_grid, self.pad))
+
+    def _scatter(self, xb: jax.Array) -> jax.Array:
+        return halo.halo_scatter_add(
+            halo.from_batch(xb, self.dom_grid), self.grid_shape,
+            self.dom_grid, self.pad)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return self.gop.matvec(x)
+
+    # ---------------- level 2: Q = Z E^-1 Z^T (applyQ) ----------------
+    def apply_q(self, x: jax.Array) -> jax.Array:
+        xb = self._gather(x)
+        ztx = jnp.einsum("dzyxk,dzyx->dk", self.z, xb,
+                         preferred_element_type=x.dtype)
+        w = jax.ops.segment_sum(ztx.ravel(), self.colids.ravel(),
+                                num_segments=self.dim_e + 1)[:-1]
+        w = self.e_evecs @ (self.e_eig_inv * (self.e_evecs.T @ w))
+        wp = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+        wl = wp[self.colids]
+        yb = jnp.einsum("dzyxk,dk->dzyx", self.z, wl,
+                        preferred_element_type=x.dtype)
+        return self._scatter(yb)
+
+    # ---------------- level 1 (applyLevel1) ----------------
+    def _local_solve(self, x: jax.Array) -> jax.Array:
+        xb = self._gather(x)
+        if self.lvl1 in ("RAS", "SRAS"):
+            xb = xb * self.pou                      # (1.29) of R1
+        ub = self.l1.solve(xb)
+        if self.lvl1 == "SRAS":
+            ub = ub * self.pou
+        # pad slots are decoupled in the FDM factor but masking pins them
+        # to exact zeros (degenerate 1-D eigenvalues could mix blocks)
+        ub = ub * self.maskf
+        return self._scatter(ub)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        """Full PC apply (applyGenEOPC): Y = Q X + L1(X) with optional
+        hybrid projections — (7.53) of R1."""
+        if self.lvl2 and not self.eff_hybrid:
+            y = self.apply_q(x)
+        else:
+            y = jnp.zeros_like(x)
+        t = x
+        if self.hybrid and not self.eff_hybrid:
+            t = t - self.matvec(y)                  # (I - P^T) x
+        t = self._local_solve(t)
+        if self.hybrid:
+            t = t - self.apply_q(self.matvec(t))    # (I - P) t
+        return y + t
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.apply(x)
+
+
+# ===================== setup =====================
+
+def _flat_ops(sd: StructuredDecomposition, neu, dirs, pou_b, maskf,
+              t_fac: fdm.FDMFactor):
+    """LOBPCG operator callables over flat [d, n_loc, m] blocks.
+
+    [d, n_loc, m] <-> [d, lz, ly, lx, m] is a FREE reshape (n_loc is the
+    flattened box in the same layout), so the stencil/FDM kernels apply
+    directly."""
+    sx, sy, sz = sd.local_shape
+    n_dom = sd.n_dom
+    box = (n_dom, sz, sy, sx, -1)
+    flat = (n_dom, sz * sy * sx, -1)
+
+    def a_op(v):
+        return neu.matvec(v.reshape(box)).reshape(flat)
+
+    def b_op(v):
+        w = v.reshape(box) * pou_b[..., None]
+        w = dirs.matvec(w) * pou_b[..., None]
+        return w.reshape(flat)
+
+    def t_op(v):
+        w = t_fac.solve(v.reshape(box)) * maskf[..., None]
+        return w.reshape(flat)
+
+    return a_op, b_op, t_op
+
+
+def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
+              y_dil: jax.Array, counts: np.ndarray) -> np.ndarray:
+    """E = Z^T A Z via per-offset window contractions.
+
+    z:     [n_dom, lz, ly, lx, k_max] D-weighted local basis (zero pad)
+    y_dil: [n_dom, dz, dy, dx, k_max] = A z_d on the one-layer-dilated box
+    Returns the REAL (unpadded) dense symmetric E [dim_e, dim_e] (host).
+    """
+    gx, gy, gz = sd.dom_grid
+    k_max = z.shape[-1]
+    n_dom = sd.n_dom
+    divided = [g > 1 for g in sd.dom_grid]
+    # neighbor radius per axis: boxes (p) and (p+o) overlap the dilated
+    # window while |o| * inner < inner + 2 pad + 1
+    radius = [int(np.ceil((2 * sd.pad[a] + 1) / sd.inner[a]))
+              if divided[a] else 0 for a in range(3)]
+    z_bg = halo.from_batch(z, sd.dom_grid)          # [gz, gy, gx, ...]
+    y_bg = halo.from_batch(y_dil, sd.dom_grid)
+
+    rows_i, cols_i, vals = [], [], []
+    dom_lin = np.arange(n_dom)
+    px, py, pz = (dom_lin % gx, (dom_lin // gx) % gy, dom_lin // (gx * gy))
+
+    def windows(a, o):
+        """(z_slice, y_slice) along axis a for offset o."""
+        ll = sd.local_shape[a]
+        if not divided[a]:
+            return slice(0, ll), slice(0, ll)
+        i = sd.inner[a]
+        pp = sd.pad[a]
+        if o == 0:
+            return slice(0, ll), slice(1, ll + 1)
+        length = i - abs(o) * i + 2 * pp + 1
+        if o > 0:
+            return slice(0, length), slice(o * i + 1, o * i + 1 + length)
+        s = -o * i - 1
+        return slice(s, s + length), slice(0, length)
+
+    offsets = product(*[range(-radius[a], radius[a] + 1)
+                        for a in (0, 1, 2)])
+    for ox, oy, oz in offsets:
+        zwx, ywx = windows(0, ox)
+        zwy, ywy = windows(1, oy)
+        zwz, ywz = windows(2, oz)
+        if any(w.stop - w.start <= 0
+               for w in (zwx, ywx, zwy, ywy, zwz, ywz)):
+            continue
+        # at block position d: z of domain d + o
+        zr = z_bg
+        for gaxis, o in ((2, ox), (1, oy), (0, oz)):
+            if o:
+                zr = jnp.roll(zr, -o, axis=gaxis)
+        zwin = halo.to_batch(zr)[:, zwz, zwy, zwx, :]
+        ywin = halo.to_batch(y_bg)[:, ywz, ywy, ywx, :]
+        blk = np.asarray(jnp.einsum(
+            "dzyxk,dzyxm->dkm", zwin, ywin,
+            preferred_element_type=jnp.float64
+            if zwin.dtype == jnp.float64 else jnp.float32), np.float64)
+        # validity: the rolled source d + o must exist (no wraparound)
+        ok = ((px + ox >= 0) & (px + ox < gx) & (py + oy >= 0)
+              & (py + oy < gy) & (pz + oz >= 0) & (pz + oz < gz))
+        f_lin = dom_lin + ox + gx * oy + gx * gy * oz   # row block (d + o)
+        for d in np.where(ok)[0]:
+            kf, kd = int(counts[f_lin[d]]), int(counts[d])
+            if kf == 0 or kd == 0:
+                continue
+            b = blk[d, :kf, :kd]
+            rr = np.repeat(np.arange(kf), kd)
+            cc = np.tile(np.arange(kd), kf)
+            rows_i.append(f_lin[d] * k_max + rr)
+            cols_i.append(d * k_max + cc)
+            vals.append(b.ravel())
+    import scipy.sparse as _sp
+    offs = np.zeros(n_dom, np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    dim_e = int(counts.sum())
+    if dim_e == 0:
+        return np.zeros((0, 0))
+    e_pad = _sp.coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows_i), np.concatenate(cols_i))),
+        shape=(n_dom * k_max, n_dom * k_max)).tocsr()
+    sel = np.concatenate([p * k_max + np.arange(counts[p])
+                          for p in range(n_dom)]).astype(np.int64)
+    e = np.asarray(e_pad[np.ix_(sel, sel)].todense())
+    return 0.5 * (e + e.T)
+
+
+def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
+                     b: jax.Array | None = None, dtype=jnp.float32,
+                     timers=None
+                     ) -> tuple[StructuredGenEO, GenEOStats]:
+    """Structured setUpGenEOPC: fields gather -> FDM factors -> batched
+    matrix-free eigensolve -> Z -> E, all device-side except the tiny 1-D
+    eigendecompositions and the coarse factorization."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+    opts.validate()
+    if opts.lvl1_oras:
+        raise ValueError(
+            "structured path: ORAS/SORAS need border-restricted Robin "
+            "blocks (not kappa-separable); use the generic path")
+    if opts.lvl2_num == 2:
+        raise ValueError(
+            "structured path: GenEO-2 needs Robin pencils; use the "
+            "generic path")
+    _dbg = _os.environ.get("GENEO_SETUP_VERBOSE") == "1"
+    _t0 = _time.perf_counter()
+
+    def _vlog(msg):
+        if _dbg:
+            print(f"[ssetup {_time.perf_counter() - _t0:7.2f}s] {msg}",
+                  file=_sys.stderr, flush=True)
+
+    def _mark(name, t0):
+        if timers is not None:
+            timers.add(name, _time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    n_dom = sd.n_dom
+    sx, sy, sz = sd.local_shape
+    n_loc = sx * sy * sz
+    pad1 = tuple(p + 1 if g > 1 else 0
+                 for p, g in zip(sd.pad, sd.dom_grid))
+
+    _t = _time.perf_counter()
+    f_dil = lo.gather_fields(sd, dtype=dtype, pad=pad1)
+    f = lo.slice_inner(f_dil, sd)
+    maskf = f.mask.astype(dtype)
+    gop = global_stencil(sd.grid, dtype)
+    _vlog("fields gathered")
+
+    # level-1 FDM factor (Dirichlet; exact direct solve)
+    l1 = fdm.fdm_factor(fdm.dirichlet_axes(sd), dtype=dtype)
+    _t = _mark("l1_minv", _t)
+    _vlog("L1 FDM factored")
+
+    need_pou = opts.lvl2_num > 0 or opts.lvl1_ras
+    pou_b = jnp.where(f.mask, 1.0 / jnp.maximum(f.mult, 1.0), 0.0) \
+        .astype(dtype) if need_pou else None
+
+    stats = GenEOStats(
+        estim_dim_e=np.zeros(n_dom, np.int64),
+        real_dim_e=np.zeros(n_dom, np.int64),
+        nicolaides=np.zeros(n_dom, np.int64),
+        tau_loc=np.full(n_dom, -1.0), gamma_loc=np.full(n_dom, -1.0))
+
+    if opts.lvl2_num == 0:
+        pc = StructuredGenEO(
+            grid_shape=sd.grid.shape, dom_grid=sd.dom_grid, pad=sd.pad,
+            local_shape=sd.local_shape, lvl1=opts.lvl1, lvl2=0,
+            hybrid=False, eff_hybrid=False, dim_e=0, k_max=0, gop=gop,
+            l1=l1, pou=pou_b, maskf=maskf, z=None, colids=None,
+            e_evecs=None, e_eig_inv=None,
+            x0=jnp.zeros(sd.grid.n_nodes, dtype))
+        return pc, stats
+
+    # ----- GenEO-1 eigensolve: (A_Neu, D A_Dir D), threshold tau -----
+    _t = _time.perf_counter()
+    neu = lo.neumann_stencil(f)
+    dirs = lo.dirichlet_stencil(f)
+    t_fac = fdm.fdm_factor(fdm.neumann_axes(sd), shift=float(opts.tau),
+                           dtype=dtype)
+    a_op, b_op, t_op = _flat_ops(sd, neu, dirs, pou_b, maskf, t_fac)
+
+    max_it = min(int(opts.els2.max_it), 400) \
+        if opts.els2.max_it < 10000 else 100
+
+    @partial(jax.jit, static_argnames=("k",))
+    def run_lobpcg(neu_, dirs_, pou_, maskf_, t_, k):
+        # rebind closures on the jitted arguments (operator pytrees must
+        # be traced arguments, never closed-over constants)
+        a_o, b_o, t_o = _flat_ops(sd, neu_, dirs_, pou_, maskf_, t_)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (n_dom, n_loc, k),
+                               dtype)
+        x0 = x0 * maskf_.reshape(n_dom, n_loc)[..., None]
+        x0 = t_o(x0)
+        return matfree_lobpcg(a_o, b_o, t_o, x0, max_it=max_it)
+
+    del a_op, b_op, t_op
+    # tau-adaptive candidate count: grow the block until every domain's
+    # window [0, tau] is strictly inside the computed candidates (the
+    # Sylvester-estimate role, estimateNumberOfEigenValues
+    # geneo.cpp:502-560, realized by doubling instead of inertia counts)
+    k_cand = opts.cut if opts.cut > 0 else 8
+    k_cand = min(k_cand, n_loc)
+    while True:
+        w, v, res = run_lobpcg(neu, dirs, pou_b, maskf, t_fac, k_cand)
+        w_np = np.asarray(w, np.float64)
+        _vlog(f"lobpcg k={k_cand} done")
+        if opts.cut > 0 or k_cand >= min(128, n_loc):
+            break
+        if np.all(w_np[:, -1] > opts.tau):
+            break
+        k_cand = min(k_cand * 2, min(128, n_loc))
+    res_np = np.asarray(res, np.float64)
+    if timers is not None:
+        _dt = _time.perf_counter() - _t
+        timers.add("l2_eig", _dt)
+        timers.add("l2_tau_eig", _dt)
+    _t = _time.perf_counter()
+
+    # selection: exact [0, tau] window (geneo.cpp:713-714)
+    keep = [np.where(w_np[p] <= opts.tau)[0] for p in range(n_dom)]
+    if opts.cut > 0:
+        keep = [kp[:opts.cut] for kp in keep]
+    stats.estim_dim_e = np.array([len(kp) for kp in keep], np.int64)
+    stats.lobpcg_res = res_np
+
+    # Nicolaides near-kernel test (geneo.cpp:897-955): quadratic forms of
+    # the constant vector through the stencil operators
+    ones_b = maskf
+    num_all = np.asarray(jnp.einsum(
+        "dzyx,dzyx->d", ones_b, neu.matvec(ones_b)), np.float64)
+    den_all = np.asarray(jnp.einsum(
+        "dzyx,dzyx->d", ones_b, pou_b * dirs.matvec(pou_b * ones_b)),
+        np.float64)
+    eps64 = np.finfo(np.float64).eps
+    eps32 = np.finfo(np.float32).eps
+
+    v_np = np.asarray(v, np.float64)
+    n_real = np.asarray(jnp.sum(maskf.reshape(n_dom, -1), axis=1),
+                        np.int64)
+    cols: list[list[np.ndarray]] = [[] for _ in range(n_dom)]
+    evals: list[list[float]] = [[] for _ in range(n_dom)]
+    ones_flat = np.asarray(maskf, np.float64).reshape(n_dom, -1)
+    for p in range(n_dom):
+        for i in keep[p]:
+            cols[p].append(v_np[p, :, i])
+            evals[p].append(float(w_np[p, i]))
+        if n_real[p] > 0:
+            kept_w = w_np[p, keep[p]]
+            no_zero = len(kept_w) > 0 and kept_w.min() >= eps64
+            if no_zero:
+                ratio = abs(num_all[p] / den_all[p]) \
+                    if den_all[p] != 0 else np.inf
+                if ratio <= eps32:
+                    cols[p].append(ones_flat[p])
+                    evals[p].append(0.0)
+                    stats.nicolaides[p] += 1
+        if not cols[p] and n_real[p] > 0:
+            cols[p].append(ones_flat[p])
+            evals[p].append(0.0)
+            stats.nicolaides[p] += 1
+        stats.real_dim_e[p] = len(cols[p])
+    stats.eigenvalues = evals
+    _vlog(f"columns selected (dim_e={int(stats.real_dim_e.sum())})")
+
+    counts = stats.real_dim_e
+    dim_e = int(counts.sum())
+    k_max = max(int(counts.max()), 1)
+
+    # D-weighted coarse basis Z ((7.49) of R1)
+    z_np = np.zeros((n_dom, n_loc, k_max), np.float64)
+    for p in range(n_dom):
+        for j, vec in enumerate(cols[p]):
+            z_np[p, :, j] = vec
+    z = jnp.asarray(z_np, dtype).reshape(n_dom, sz, sy, sx, k_max)
+    z = z * pou_b[..., None] * maskf[..., None]
+    offs = np.zeros(n_dom, np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    colids_np = np.full((n_dom, k_max), dim_e, np.int32)
+    for p in range(n_dom):
+        colids_np[p, :counts[p]] = offs[p] + np.arange(counts[p])
+    colids = jnp.asarray(colids_np)
+    _t = _mark("l2_z", _t)
+    _vlog("Z built")
+
+    # E = Z^T A Z: dilated-stencil apply + window contractions
+    dirs_dil = lo.dirichlet_stencil(f_dil)
+    pad_width = [(0, 0)] + [(1, 1) if p else (0, 0)
+                            for p in (sd.pad[2], sd.pad[1], sd.pad[0])] \
+        + [(0, 0)]
+    z_dil = jnp.pad(z, pad_width)
+    y_dil = dirs_dil.matvec(z_dil)
+    # zero the pad rows of the dilated apply (identity pad rows of the
+    # stencil would otherwise inject the zero-padded z — already zero, but
+    # the mask keeps out-of-grid halo reads inert)
+    y_dil = y_dil * f_dil.mask[..., None].astype(dtype)
+    e = _coarse_e(sd, z, y_dil, counts)
+    _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
+    ev_np, ew_np, stats.e_null = factor_e(e, dtype)
+    e_evecs = jnp.asarray(ev_np, dtype)
+    e_eig_inv = jnp.asarray(1.0 / ew_np, dtype)
+    _t = _mark("l2_e", _t)
+
+    pc = StructuredGenEO(
+        grid_shape=sd.grid.shape, dom_grid=sd.dom_grid, pad=sd.pad,
+        local_shape=sd.local_shape, lvl1=opts.lvl1, lvl2=opts.lvl2_num,
+        hybrid=opts.hybrid, eff_hybrid=opts.eff_hybrid, dim_e=dim_e,
+        k_max=k_max, gop=gop, l1=l1, pou=pou_b, maskf=maskf, z=z,
+        colids=colids, e_evecs=e_evecs, e_eig_inv=e_eig_inv,
+        x0=jnp.zeros(sd.grid.n_nodes, dtype))
+    if opts.eff_hybrid and b is not None:
+        pc = dataclasses.replace(
+            pc, x0=pc.apply_q(jnp.asarray(b, dtype)))
+    return pc, stats

@@ -17,8 +17,12 @@ Array convention: fields are [nz, ny, nx] with node id = x + nx*(y + ny*z)
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 from ..models import _grid
 
@@ -107,6 +111,54 @@ class StructuredGrid:
         manufactured-solution oracle (createB, geneo4PETSc.cpp:815-834)."""
         x = np.arange(1.0, self.n_nodes + 1)
         return x, self.matvec(x)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["diag", "coeff"], meta_fields=["grid_shape"])
+@dataclass(frozen=True)
+class GlobalStencil:
+    """Device twin of StructuredGrid.matvec: the assembled global operator
+    as diag + per-axis edge-coefficient fields — the iteration-phase SpMV
+    (the distributed MatMult inside KSPSolve, with NO index arrays:
+    XLA lowers the shifted adds to contiguous-slice fusion, the structured
+    replacement for the generic path's gather/segment_sum SpMV).
+
+    diag:  [nz, ny, nx];  coeff[a]: edge (v, v+e_a) coefficient stored at
+    v (upper face zero) — the operator off-diagonal is -coeff."""
+
+    diag: jax.Array
+    coeff: tuple
+    grid_shape: tuple
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """x: flat [n] (or [n, k]) -> A @ x, same shape."""
+        nx, ny, nz = self.grid_shape
+        trailing = x.shape[1:]
+        xg = x.reshape((nz, ny, nx) + trailing)
+        extra = len(trailing)
+        d = self.diag[(...,) + (None,) * extra] if extra else self.diag
+        y = d * xg
+        for a, c in enumerate(self.coeff):
+            ax = 2 - a
+            if xg.shape[ax] == 1:
+                continue
+            ce = c[(...,) + (None,) * extra] if extra else c
+            lo = [slice(None)] * xg.ndim
+            hi = [slice(None)] * xg.ndim
+            lo[ax] = slice(None, -1)
+            hi[ax] = slice(1, None)
+            lo, hi = tuple(lo), tuple(hi)
+            cl = ce[lo]
+            y = y.at[lo].add(-cl * xg[hi])
+            y = y.at[hi].add(-cl * xg[lo])
+        return y.reshape(x.shape)
+
+
+def global_stencil(g: StructuredGrid, dtype=jnp.float32) -> GlobalStencil:
+    """Stage the assembled operator fields on the default device."""
+    coeff = tuple(jnp.asarray(g.edge_coeff(a), dtype) for a in range(3))
+    return GlobalStencil(diag=jnp.asarray(g.diag(), dtype), coeff=coeff,
+                         grid_shape=g.shape)
 
 
 def _not_first(shape, axis):

@@ -89,15 +89,20 @@ class LocalFields:
     inp_eps: float
 
 
-def gather_fields(sd: StructuredDecomposition, dtype=jnp.float32
-                  ) -> LocalFields:
-    """Host fields -> device halo-gathered local batches (one upload)."""
+def gather_fields(sd: StructuredDecomposition, dtype=jnp.float32,
+                  pad=None) -> LocalFields:
+    """Host fields -> device halo-gathered local batches (one upload).
+
+    ``pad`` overrides the gather window (e.g. sd.pad + 1 for the dilated
+    boxes used by the coarse-operator assembly); the decomposition's
+    multiplicity fields are global and unaffected by the window size."""
     g = sd.grid
+    pad = sd.pad if pad is None else tuple(pad)
 
     def up(h):
         a = jnp.asarray(np.asarray(h, np.float64).ravel(), dtype)
         return halo.to_batch(halo.halo_gather(a, g.shape, sd.dom_grid,
-                                              sd.pad))
+                                              pad))
 
     kappa = up(g.kappa)
     diag = up(g.diag())
@@ -107,8 +112,27 @@ def gather_fields(sd: StructuredDecomposition, dtype=jnp.float32
     bc = up(g.bc_mask().astype(np.float64)) > 0
     return LocalFields(kappa=kappa, diag=diag, mult=mult, emult=emult,
                        mask=mask, bc=bc, grid_shape=g.shape,
-                       dom_grid=sd.dom_grid, pad=sd.pad,
+                       dom_grid=sd.dom_grid, pad=pad,
                        inp_eps=g.inp_eps)
+
+
+def slice_inner(f: LocalFields, sd: StructuredDecomposition) -> LocalFields:
+    """View of dilated fields (gathered at sd.pad + 1) on the sd.pad
+    window — one halo gather serves both geometries."""
+    sl = [slice(None)]
+    for a in (2, 1, 0):                    # array axes z, y, x
+        sl.append(slice(1, -1) if sd.pad[a] else slice(None))
+    sl = tuple(sl)
+
+    def cut(x):
+        return x[sl]
+
+    return LocalFields(kappa=cut(f.kappa), diag=cut(f.diag),
+                       mult=cut(f.mult),
+                       emult=tuple(cut(e) for e in f.emult),
+                       mask=cut(f.mask), bc=cut(f.bc),
+                       grid_shape=f.grid_shape, dom_grid=f.dom_grid,
+                       pad=sd.pad, inp_eps=f.inp_eps)
 
 
 def _edge_ok(mask: jax.Array, a: int):
