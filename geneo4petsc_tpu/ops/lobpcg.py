@@ -27,24 +27,55 @@ import jax.numpy as jnp
 from . import batched_linalg as bl
 
 
+def _hi(dt):
+    """Dtype for the tiny [m, m] eigendecompositions: f64 when available.
+
+    TPU's native f32 eigh is an iterative algorithm with ~1e-3 residual /
+    orthogonality error — repeated whitening with it stalls LOBPCG on
+    ill-conditioned pencils (measured: kept Ritz residuals plateau at
+    ~0.5 on the 1M-bench GenEO pencil).  The grams are tiny, so emulated
+    f64 eigh costs nothing; large matmuls stay f32 with HIGHEST (6-pass
+    bf16) MXU precision."""
+    import jax as _jax
+    return jnp.float64 if _jax.config.jax_enable_x64 else dt
+
+
 def _whiten(s, bs):
-    """B-orthonormalize S [d, n, m]: returns (S W, BS W, alive_mask) with
-    W = V diag(1/sqrt(e)) from eigh(S^T B S), truncating tiny directions."""
+    """B-orthonormalize S [d, n, m]: returns (S W, BS W, proj) with the
+    SYMMETRIC pseudo inverse square root W = V diag(e^-1/2) V^T of
+    eigh(S^T B S), truncating tiny directions.
+
+    W must be the symmetric root, NOT V diag(e^-1/2): a near-converged
+    block has gram ~ I with fully degenerate eigenvalues, and eigh is then
+    free to return an ARBITRARY rotation V — LAPACK happens to return
+    ~identity, but TPU's iterative eigh scrambles the Ritz columns every
+    iteration, destroying LOBPCG's X/W/P separation (measured: stagnation
+    at res~0.4 then overflow on the 1M-bench pencil).  The symmetric root
+    is rotation-free (~I + small for gram ~ I).
+
+    ``proj`` is the alive-subspace projector V diag(alive) V^T (hi dtype)
+    — callers steer dead directions with big * (I - proj)."""
     m = s.shape[-1]
     gram = jnp.einsum("dnm,dnk->dmk", s, bs,
-                      preferred_element_type=s.dtype)
+                      preferred_element_type=s.dtype,
+                      precision="highest")
     gram = 0.5 * (gram + jnp.swapaxes(gram, -1, -2))
-    e, v = jnp.linalg.eigh(gram)
+    hi = _hi(s.dtype)
+    e, v = jnp.linalg.eigh(gram.astype(hi))
     tol = m * jnp.finfo(s.dtype).eps * jnp.max(jnp.abs(e), axis=-1,
                                                keepdims=True)
     alive = e > tol
     inv_sqrt = jnp.where(alive, 1.0 / jnp.sqrt(jnp.where(alive, e, 1.0)), 0.0)
-    w = v * inv_sqrt[..., None, :]
+    w = jnp.einsum("dmi,dki->dmk", v * inv_sqrt[..., None, :], v)
+    proj = jnp.einsum("dmi,dki->dmk", v * alive[..., None, :], v)
+    w = w.astype(s.dtype)
     return (jnp.einsum("dnm,dmk->dnk", s, w,
-                       preferred_element_type=s.dtype),
+                       preferred_element_type=s.dtype,
+                       precision="highest"),
             jnp.einsum("dnm,dmk->dnk", bs, w,
-                       preferred_element_type=s.dtype),
-            alive)
+                       preferred_element_type=s.dtype,
+                       precision="highest"),
+            proj)
 
 
 def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40):
@@ -66,17 +97,24 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40):
     k = x0.shape[-1]
     dtype = x0.dtype
 
+    hi = _hi(dtype)
+
     def rayleigh_ritz(s, bs):
-        s, bs, alive = _whiten(s, bs)
+        s, bs, proj = _whiten(s, bs)
         as_ = a_op(s)
-        h = jnp.einsum("dnm,dnk->dmk", s, as_, preferred_element_type=dtype)
+        h = jnp.einsum("dnm,dnk->dmk", s, as_, preferred_element_type=dtype,
+                       precision="highest")
         h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
-        big = jnp.asarray(1e30, dtype)
+        # steer the dead (truncated) subspace to the top of the spectrum:
+        # + big * (I - proj).  1e12 (not 1e30): TPU's emulated f64 eigh
+        # squares intermediates in f32-pair arithmetic — 1e30^2 overflows
+        # the f32 head to NaN; 1e12 still sorts dead above every live
+        # Ritz value.
+        big = jnp.asarray(1e12, hi)
         m = h.shape[-1]
-        h = h + jnp.where(alive, 0.0, big)[..., :, None] * \
-            jnp.eye(m, dtype=dtype)
+        h = h.astype(hi) + big * (jnp.eye(m, dtype=hi) - proj)
         theta, c = jnp.linalg.eigh(h)
-        return s, theta, c
+        return s, theta.astype(dtype), c.astype(dtype)
 
     def body(carry, _):
         x, p = carry
@@ -91,10 +129,12 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40):
         s_t, theta, c = rayleigh_ritz(s, bs)
         cx = c[..., :k]
         x_new = jnp.einsum("dnm,dmk->dnk", s_t, cx,
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype,
+                           precision="highest")
         c_wp = cx.at[:, :k, :].set(0.0)
         p_new = jnp.einsum("dnm,dmk->dnk", s_t, c_wp,
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype,
+                           precision="highest")
         return (x_new, p_new), None
 
     (x, _p), _ = jax.lax.scan(body, (x0, jnp.zeros_like(x0)), None,
@@ -103,10 +143,14 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40):
     bx = b_op(x)
     x, bx, _ = _whiten(x, bx)
     ax = a_op(x)
-    h = jnp.einsum("dnm,dnk->dmk", x, ax, preferred_element_type=dtype)
+    h = jnp.einsum("dnm,dnk->dmk", x, ax, preferred_element_type=dtype,
+                   precision="highest")
     h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
-    theta, c = jnp.linalg.eigh(h)
-    v = jnp.einsum("dnm,dmk->dnk", x, c, preferred_element_type=dtype)
+    theta, c = jnp.linalg.eigh(h.astype(hi))
+    theta = theta.astype(dtype)
+    c = c.astype(dtype)
+    v = jnp.einsum("dnm,dmk->dnk", x, c, preferred_element_type=dtype,
+                   precision="highest")
     av = a_op(v)
     bv = b_op(v)
     r = av - bv * theta[:, None, :]
@@ -153,20 +197,24 @@ def batched_lobpcg(a: jax.Array, b: jax.Array, k: int,
     x0 = jax.random.normal(jax.random.PRNGKey(0), (d, n, k), dtype)
     x0 = precond(x0)
 
+    hi = _hi(dtype)
+
     def rayleigh_ritz(s, bs):
-        s, bs, alive = _whiten(s, bs)
+        s, bs, proj = _whiten(s, bs)
         as_ = jnp.einsum("dij,djm->dim", a, s,
-                         preferred_element_type=dtype)
+                         preferred_element_type=dtype,
+                         precision="highest")
         h = jnp.einsum("dnm,dnk->dmk", s, as_,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                       precision="highest")
         h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
-        # steer dead directions to the top of the spectrum
-        big = jnp.asarray(1e30, dtype)
+        # steer the dead (truncated) subspace to the top of the spectrum
+        # (see matfree rayleigh_ritz for the 1e12 rationale)
+        big = jnp.asarray(1e12, hi)
         m = h.shape[-1]
-        h = h + jnp.where(alive, 0.0, big)[..., :, None] * \
-            jnp.eye(m, dtype=dtype)
+        h = h.astype(hi) + big * (jnp.eye(m, dtype=hi) - proj)
         theta, c = jnp.linalg.eigh(h)
-        return s, theta, c
+        return s, theta.astype(dtype), c.astype(dtype)
 
     def body(carry, _):
         x, p = carry
@@ -198,10 +246,14 @@ def batched_lobpcg(a: jax.Array, b: jax.Array, k: int,
     bx = jnp.einsum("dij,djm->dim", b, x, preferred_element_type=dtype)
     x, bx, _ = _whiten(x, bx)
     ax = jnp.einsum("dij,djm->dim", a, x, preferred_element_type=dtype)
-    h = jnp.einsum("dnm,dnk->dmk", x, ax, preferred_element_type=dtype)
+    h = jnp.einsum("dnm,dnk->dmk", x, ax, preferred_element_type=dtype,
+                   precision="highest")
     h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
-    theta, c = jnp.linalg.eigh(h)
-    v = jnp.einsum("dnm,dmk->dnk", x, c, preferred_element_type=dtype)
+    theta, c = jnp.linalg.eigh(h.astype(hi))
+    theta = theta.astype(dtype)
+    c = c.astype(dtype)
+    v = jnp.einsum("dnm,dmk->dnk", x, c, preferred_element_type=dtype,
+                   precision="highest")
     av = jnp.einsum("dij,djm->dim", a, v, preferred_element_type=dtype)
     bv = jnp.einsum("dij,djm->dim", b, v, preferred_element_type=dtype)
     r = av - bv * theta[:, None, :]

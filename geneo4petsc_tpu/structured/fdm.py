@@ -222,21 +222,21 @@ class FDMFactor:
         dt = x.dtype
         # adjoint transform (x)_a (D^-1/2 P)^T
         y = jnp.einsum("dzw,dzyx" + extra + "->dwyx" + extra, pz, x,
-                       preferred_element_type=dt)
+                       preferred_element_type=dt, precision="highest")
         y = jnp.einsum("dyw,dzyx" + extra + "->dzwx" + extra, py, y,
-                       preferred_element_type=dt)
+                       preferred_element_type=dt, precision="highest")
         y = jnp.einsum("dxw,dzyx" + extra + "->dzyw" + extra, px, y,
-                       preferred_element_type=dt)
+                       preferred_element_type=dt, precision="highest")
         den = (lz[:, :, None, None] + ly[:, None, :, None]
                + lx[:, None, None, :] + self.shift).astype(dt)
         y = y / (den[..., None] if extra else den)
         # forward transform (x)_a (D^-1/2 P)
         y = jnp.einsum("dzw,dwyx" + extra + "->dzyx" + extra, pz, y,
-                       preferred_element_type=dt)
+                       preferred_element_type=dt, precision="highest")
         y = jnp.einsum("dyw,dzwx" + extra + "->dzyx" + extra, py, y,
-                       preferred_element_type=dt)
+                       preferred_element_type=dt, precision="highest")
         y = jnp.einsum("dxw,dzyw" + extra + "->dzyx" + extra, px, y,
-                       preferred_element_type=dt)
+                       preferred_element_type=dt, precision="highest")
         return y
 
 

@@ -97,14 +97,14 @@ class StructuredGenEO:
     def apply_q(self, x: jax.Array) -> jax.Array:
         xb = self._gather(x)
         ztx = jnp.einsum("dzyxk,dzyx->dk", self.z, xb,
-                         preferred_element_type=x.dtype)
+                         preferred_element_type=x.dtype, precision="highest")
         w = jax.ops.segment_sum(ztx.ravel(), self.colids.ravel(),
                                 num_segments=self.dim_e + 1)[:-1]
         w = self.e_evecs @ (self.e_eig_inv * (self.e_evecs.T @ w))
         wp = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
         wl = wp[self.colids]
         yb = jnp.einsum("dzyxk,dk->dzyx", self.z, wl,
-                        preferred_element_type=x.dtype)
+                        preferred_element_type=x.dtype, precision="highest")
         return self._scatter(yb)
 
     # ---------------- level 1 (applyLevel1) ----------------
@@ -141,15 +141,14 @@ class StructuredGenEO:
 
 # ===================== setup =====================
 
-def _flat_ops(sd: StructuredDecomposition, neu, dirs, pou_b, maskf,
-              t_fac: fdm.FDMFactor):
+def _flat_ops(neu, dirs, pou_b, maskf, t_fac: fdm.FDMFactor):
     """LOBPCG operator callables over flat [d, n_loc, m] blocks.
 
     [d, n_loc, m] <-> [d, lz, ly, lx, m] is a FREE reshape (n_loc is the
     flattened box in the same layout), so the stencil/FDM kernels apply
-    directly."""
-    sx, sy, sz = sd.local_shape
-    n_dom = sd.n_dom
+    directly.  Batch size is taken from the arrays (callers slice the
+    pytrees to chunk the domain batch)."""
+    n_dom, sz, sy, sx = maskf.shape
     box = (n_dom, sz, sy, sx, -1)
     flat = (n_dom, sz * sy * sx, -1)
 
@@ -184,10 +183,6 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
     # window while |o| * inner < inner + 2 pad + 1
     radius = [int(np.ceil((2 * sd.pad[a] + 1) / sd.inner[a]))
               if divided[a] else 0 for a in range(3)]
-    z_bg = halo.from_batch(z, sd.dom_grid)          # [gz, gy, gx, ...]
-    y_bg = halo.from_batch(y_dil, sd.dom_grid)
-
-    rows_i, cols_i, vals = [], [], []
     dom_lin = np.arange(n_dom)
     px, py, pz = (dom_lin % gx, (dom_lin // gx) % gy, dom_lin // (gx * gy))
 
@@ -206,26 +201,37 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
         s = -o * i - 1
         return slice(s, s + length), slice(0, length)
 
-    offsets = product(*[range(-radius[a], radius[a] + 1)
-                        for a in (0, 1, 2)])
-    for ox, oy, oz in offsets:
-        zwx, ywx = windows(0, ox)
-        zwy, ywy = windows(1, oy)
-        zwz, ywz = windows(2, oz)
-        if any(w.stop - w.start <= 0
-               for w in (zwx, ywx, zwy, ywy, zwz, ywz)):
+    offs_used = []
+    for ox, oy, oz in product(*[range(-radius[a], radius[a] + 1)
+                                for a in (0, 1, 2)]):
+        ws = (windows(0, ox), windows(1, oy), windows(2, oz))
+        if any(w.stop - w.start <= 0 for pair in ws for w in pair):
             continue
-        # at block position d: z of domain d + o
-        zr = z_bg
-        for gaxis, o in ((2, ox), (1, oy), (0, oz)):
-            if o:
-                zr = jnp.roll(zr, -o, axis=gaxis)
-        zwin = halo.to_batch(zr)[:, zwz, zwy, zwx, :]
-        ywin = halo.to_batch(y_bg)[:, ywz, ywy, ywx, :]
-        blk = np.asarray(jnp.einsum(
-            "dzyxk,dzyxm->dkm", zwin, ywin,
-            preferred_element_type=jnp.float64
-            if zwin.dtype == jnp.float64 else jnp.float32), np.float64)
+        offs_used.append(((ox, oy, oz), ws))
+
+    @jax.jit
+    def all_blocks(z_, y_):
+        """One compiled program for every neighbor-offset contraction."""
+        z_b = halo.from_batch(z_, sd.dom_grid)      # [gz, gy, gx, ...]
+        out = []
+        for (ox, oy, oz), ((zwx, ywx), (zwy, ywy), (zwz, ywz)) in offs_used:
+            zr = z_b
+            for gaxis, o in ((2, ox), (1, oy), (0, oz)):
+                if o:
+                    zr = jnp.roll(zr, -o, axis=gaxis)
+            zwin = halo.to_batch(zr)[:, zwz, zwy, zwx, :]
+            ywin = y_[:, ywz, ywy, ywx, :]
+            out.append(jnp.einsum(
+                "dzyxk,dzyxm->dkm", zwin, ywin,
+                preferred_element_type=jnp.float64
+                if z_.dtype == jnp.float64 else jnp.float32,
+                precision="highest"))
+        return jnp.stack(out)                        # [n_off, d, k, k]
+
+    blocks = np.asarray(all_blocks(z, y_dil), np.float64)
+
+    rows_i, cols_i, vals = [], [], []
+    for io, ((ox, oy, oz), _ws) in enumerate(offs_used):
         # validity: the rolled source d + o must exist (no wraparound)
         ok = ((px + ox >= 0) & (px + ox < gx) & (py + oy >= 0)
               & (py + oy < gy) & (pz + oz >= 0) & (pz + oz < gz))
@@ -234,7 +240,7 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
             kf, kd = int(counts[f_lin[d]]), int(counts[d])
             if kf == 0 or kd == 0:
                 continue
-            b = blk[d, :kf, :kd]
+            b = blocks[io, d, :kf, :kd]
             rr = np.repeat(np.arange(kf), kd)
             cc = np.tile(np.arange(kd), kf)
             rows_i.append(f_lin[d] * k_max + rr)
@@ -332,7 +338,6 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     dirs = lo.dirichlet_stencil(f)
     t_fac = fdm.fdm_factor(fdm.neumann_axes(sd), shift=float(opts.tau),
                            dtype=dtype)
-    a_op, b_op, t_op = _flat_ops(sd, neu, dirs, pou_b, maskf, t_fac)
 
     max_it = min(int(opts.els2.max_it), 400) \
         if opts.els2.max_it < 10000 else 100
@@ -341,14 +346,53 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     def run_lobpcg(neu_, dirs_, pou_, maskf_, t_, k):
         # rebind closures on the jitted arguments (operator pytrees must
         # be traced arguments, never closed-over constants)
-        a_o, b_o, t_o = _flat_ops(sd, neu_, dirs_, pou_, maskf_, t_)
-        x0 = jax.random.normal(jax.random.PRNGKey(0), (n_dom, n_loc, k),
+        a_o, b_o, t_o = _flat_ops(neu_, dirs_, pou_, maskf_, t_)
+        d = maskf_.shape[0]
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (d, n_loc, k),
                                dtype)
-        x0 = x0 * maskf_.reshape(n_dom, n_loc)[..., None]
+        x0 = x0 * maskf_.reshape(d, n_loc)[..., None]
         x0 = t_o(x0)
         return matfree_lobpcg(a_o, b_o, t_o, x0, max_it=max_it)
 
-    del a_op, b_op, t_op
+    # LOBPCG live set ~ 16 k-column [chunk, n_loc] panels; chunk the
+    # domain batch to a device-memory budget (one compiled executable per
+    # chunk shape, reused across slices — the generic path's discipline)
+    import os as _os2
+    budget = float(_os2.environ.get("GENEO_LOBPCG_BUDGET_GB", "6")) * 1e9
+
+    def _slice(t, lo_i, hi_i):
+        return jax.tree_util.tree_map(
+            lambda a: a[lo_i:hi_i] if getattr(a, "ndim", 0) else a, t)
+
+    def _cat(t1, t2):
+        return jax.tree_util.tree_map(
+            lambda a, c: jnp.concatenate([a, c], 0)
+            if getattr(a, "ndim", 0) else a, t1, t2)
+
+    def run_all(k):
+        per_dom = n_loc * 16 * k * np.dtype(np.float32).itemsize
+        chunk = int(np.clip(budget // max(per_dom, 1), 1, n_dom))
+        if chunk >= n_dom:
+            return run_lobpcg(neu, dirs, pou_b, maskf, t_fac, k)
+        trees = (neu, dirs, pou_b, maskf, t_fac)
+        n_chunks = (n_dom + chunk - 1) // chunk
+        parts = []
+        for c in range(n_chunks):
+            lo_i, hi_i = c * chunk, min((c + 1) * chunk, n_dom)
+            args = [_slice(t, lo_i, hi_i) for t in trees]
+            if hi_i - lo_i < chunk:
+                pad_n = chunk - (hi_i - lo_i)
+                args = [_cat(a, _slice(t, 0, pad_n))
+                        for a, t in zip(args, trees)]
+            out = run_lobpcg(*args, k)
+            jax.block_until_ready(out[0])
+            # eigenVECTORS stay on device (pulls are the tunneled-TPU
+            # wall); w/res are tiny
+            parts.append(tuple(o[:hi_i - lo_i] for o in out))
+            _vlog(f"lobpcg chunk {c + 1}/{n_chunks} (k={k}) done")
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(3))
+
     # tau-adaptive candidate count: grow the block until every domain's
     # window [0, tau] is strictly inside the computed candidates (the
     # Sylvester-estimate role, estimateNumberOfEigenValues
@@ -356,7 +400,7 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     k_cand = opts.cut if opts.cut > 0 else 8
     k_cand = min(k_cand, n_loc)
     while True:
-        w, v, res = run_lobpcg(neu, dirs, pou_b, maskf, t_fac, k_cand)
+        w, v, res = run_all(k_cand)
         w_np = np.asarray(w, np.float64)
         _vlog(f"lobpcg k={k_cand} done")
         if opts.cut > 0 or k_cand >= min(128, n_loc):
@@ -371,11 +415,14 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
         timers.add("l2_tau_eig", _dt)
     _t = _time.perf_counter()
 
-    # selection: exact [0, tau] window (geneo.cpp:713-714)
-    keep = [np.where(w_np[p] <= opts.tau)[0] for p in range(n_dom)]
+    # selection: exact [0, tau] window (geneo.cpp:713-714) — eigenvalues
+    # ascend, so the kept set is always a PREFIX of the candidates and Z
+    # can be built ON DEVICE by column masking (no eigenvector pull —
+    # device->host transfers are the tunneled-TPU wall)
+    base = (w_np <= opts.tau).sum(axis=1).astype(np.int64)
     if opts.cut > 0:
-        keep = [kp[:opts.cut] for kp in keep]
-    stats.estim_dim_e = np.array([len(kp) for kp in keep], np.int64)
+        base = np.minimum(base, opts.cut)
+    stats.estim_dim_e = base.copy()
     stats.lobpcg_res = res_np
 
     # Nicolaides near-kernel test (geneo.cpp:897-955): quadratic forms of
@@ -388,45 +435,43 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
         np.float64)
     eps64 = np.finfo(np.float64).eps
     eps32 = np.finfo(np.float32).eps
-
-    v_np = np.asarray(v, np.float64)
     n_real = np.asarray(jnp.sum(maskf.reshape(n_dom, -1), axis=1),
                         np.int64)
-    cols: list[list[np.ndarray]] = [[] for _ in range(n_dom)]
-    evals: list[list[float]] = [[] for _ in range(n_dom)]
-    ones_flat = np.asarray(maskf, np.float64).reshape(n_dom, -1)
-    for p in range(n_dom):
-        for i in keep[p]:
-            cols[p].append(v_np[p, :, i])
-            evals[p].append(float(w_np[p, i]))
-        if n_real[p] > 0:
-            kept_w = w_np[p, keep[p]]
-            no_zero = len(kept_w) > 0 and kept_w.min() >= eps64
-            if no_zero:
-                ratio = abs(num_all[p] / den_all[p]) \
-                    if den_all[p] != 0 else np.inf
-                if ratio <= eps32:
-                    cols[p].append(ones_flat[p])
-                    evals[p].append(0.0)
-                    stats.nicolaides[p] += 1
-        if not cols[p] and n_real[p] > 0:
-            cols[p].append(ones_flat[p])
-            evals[p].append(0.0)
-            stats.nicolaides[p] += 1
-        stats.real_dim_e[p] = len(cols[p])
-    stats.eigenvalues = evals
-    _vlog(f"columns selected (dim_e={int(stats.real_dim_e.sum())})")
 
-    counts = stats.real_dim_e
+    nic = np.zeros(n_dom, bool)
+    for p in range(n_dom):
+        if n_real[p] == 0:
+            continue
+        kept_min = w_np[p, 0] if base[p] > 0 else np.inf
+        if base[p] > 0 and kept_min < eps64:
+            continue  # a zero eigenvalue is already in the basis
+        ratio = abs(num_all[p] / den_all[p]) if den_all[p] != 0 else np.inf
+        if ratio <= eps32 or base[p] == 0:
+            # near-kernel constant OR forbidden-empty-set fallback
+            nic[p] = True
+    stats.nicolaides = nic.astype(np.int64)
+    counts = base + nic
+    stats.real_dim_e = counts.copy()
+    stats.eigenvalues = [
+        [float(x) for x in w_np[p, :base[p]]] + ([0.0] if nic[p] else [])
+        for p in range(n_dom)]
     dim_e = int(counts.sum())
     k_max = max(int(counts.max()), 1)
+    _vlog(f"columns selected (dim_e={dim_e}, k_max={k_max})")
 
-    # D-weighted coarse basis Z ((7.49) of R1)
-    z_np = np.zeros((n_dom, n_loc, k_max), np.float64)
-    for p in range(n_dom):
-        for j, vec in enumerate(cols[p]):
-            z_np[p, :, j] = vec
-    z = jnp.asarray(z_np, dtype).reshape(n_dom, sz, sy, sx, k_max)
+    # D-weighted coarse basis Z ((7.49) of R1), built on device:
+    # kept prefix columns + the Nicolaides constant in column `base[p]`
+    k_v = w_np.shape[1]
+    if k_v < k_max:
+        v = jnp.concatenate(
+            [v, jnp.zeros((n_dom, n_loc, k_max - k_v), dtype)], axis=-1)
+    col = np.arange(k_max)
+    keepm = jnp.asarray(col[None, :] < base[:, None], dtype)
+    nicm = jnp.asarray((col[None, :] == base[:, None]) & nic[:, None],
+                       dtype)
+    z = v[:, :, :k_max] * keepm[:, None, :] \
+        + maskf.reshape(n_dom, n_loc, 1) * nicm[:, None, :]
+    z = z.reshape(n_dom, sz, sy, sx, k_max)
     z = z * pou_b[..., None] * maskf[..., None]
     offs = np.zeros(n_dom, np.int64)
     np.cumsum(counts[:-1], out=offs[1:])

@@ -73,7 +73,7 @@ def test_iteration_parity(size, dim, dg, L, lvl):
     x_true, b = g.manufactured_rhs()
     r_gen, s_gen = _solve_generic(mesh, sd, _opts(lvl), b)
     o_str = _opts(lvl)
-    o_str.els2.max_it = 150   # converge the eigenvectors for exact parity
+    o_str.els2.max_it = 250   # converge the eigenvectors for exact parity
     r_str, s_str = _solve_structured(g, sd, o_str, b)
     assert int(r_gen.reason) > 0 and int(r_str.reason) > 0
     # identical coarse spaces per domain
