@@ -272,7 +272,15 @@ def run(argv: list[str], out=sys.stdout) -> int:
                           driver=drv, timers=timers)
 
     if check:
-        run_checks(ap, res.pc, pc_type)
+        from .utils.check import CheckError
+        try:
+            run_checks(ap, res.pc, pc_type, stats=res.stats,
+                       eps_tol=gen.els2.rtol)
+        except CheckError as e:
+            # the reference SETERRABORTs after dumping state; the CLI
+            # analogue is a printed error + nonzero exit
+            print(f"ERROR: {e}", file=sys.stderr)
+            return 2
 
     if dbg_level >= 1 and pc_type == "geneo":
         from .utils import debug as dbg
@@ -378,6 +386,17 @@ def _print_info(res, drv, ksp, gen, pc_type, out):
                     print(f"WRNG: E is rank-deficient, {st.e_null} null "
                           "pivots fixed (check the true residual)",
                           file=out)
+                if st.lobpcg_res is not None \
+                        and float(st.lobpcg_res.max(initial=0.0)) \
+                        > gen.els2.rtol:
+                    # kept eigenpairs above the reference's EPS tolerance
+                    # analogue (checkEPSSolve, geneo.cpp:577-624): the
+                    # coarse space is degraded, CG may need extra its
+                    print("WRNG: eigensolver residual "
+                          f"{float(st.lobpcg_res.max()):.3e} above "
+                          f"tolerance {gen.els2.rtol:g} on "
+                          f"{int((st.lobpcg_res > gen.els2.rtol).sum())} "
+                          "domain(s)", file=out)
         else:
             print(line, file=out)
             if not drv.short_res:

@@ -51,9 +51,12 @@ def grid_size(size: int, weak_scaling: int, dim: int) -> int:
     weak-scaling factor, so the 1-D extent scales with its dim-th root."""
     if dim == 1:
         return size * weak_scaling
+    # epsilon guard: math.sqrt/cbrt of an exact power can land just below
+    # the integer (cbrt(108**3) -> 107.999...), and bare int() would then
+    # shrink the grid; genuine non-integer roots still truncate
     if dim == 2:
-        return int(math.sqrt(size * size * weak_scaling))
-    return int(math.cbrt(size * size * size * weak_scaling))
+        return int(math.sqrt(size * size * weak_scaling) + 1e-9)
+    return int(math.cbrt(size * size * size * weak_scaling) + 1e-9)
 
 
 def scan_grid(dim: int, n: int,

@@ -54,9 +54,17 @@ class GenEOStats:
     # PRECONDITIONED norm is blind to them (the reference shares this
     # property); callers should warn and/or check the true residual.
     e_null: int = 0
-    # iterative-eigensolver relative residuals [n_dom, k] (None for the
-    # dense-eigh route) — surfaced so callers can flag unconverged pairs
-    # (the checkEPSSolve role, src/geneo.cpp:577-624)
+    # number of linearly dependent coarse columns REMOVED by the
+    # pivoted-Cholesky pruning pass before factorizing E (the real fix for
+    # rank-deficient coarse spaces: dim_e shrinks and the pruned E is SPD,
+    # so the PC is nonsingular — vs the reference's MUMPS null-pivot
+    # fixing, geneo.cpp:76-92, which keeps the singular directions)
+    e_pruned: int = 0
+    # iterative-eigensolver relative residual, [n_dom] max over the KEPT
+    # pairs (None for the dense-eigh route) — surfaced so callers can flag
+    # unconverged pairs (the checkEPSSolve role, src/geneo.cpp:577-624):
+    # the CLI warns above the EPS tolerance analogue (els2.rtol) and
+    # -geneo_chk aborts with per-domain dump files
     lobpcg_res: np.ndarray | None = None
 
 
@@ -330,6 +338,32 @@ def _select_columns(w: np.ndarray, kind: str, thr: np.ndarray,
 def _scatter_fill(idx: jax.Array, val: jax.Array, size: int) -> jax.Array:
     return jnp.zeros(size, val.dtype).at[idx].set(
         val, unique_indices=True, indices_are_sorted=True)
+
+
+def prune_dependent_columns(e: np.ndarray, dtype) -> np.ndarray | None:
+    """Detect linearly dependent coarse columns via pivoted Cholesky.
+
+    E = Z^T A Z with A SPD, so null modes of E correspond exactly to
+    dependent columns of Z.  LAPACK dpstrf stops at the numerical rank;
+    the dropped pivots identify which columns to prune (the principled
+    replacement for MUMPS null-pivot *fixing*, geneo.cpp:76-92: pruning
+    shrinks the coarse space and keeps the PC nonsingular).
+
+    Returns the SORTED indices of the independent columns, or None when E
+    is already numerically full rank (the common case — zero cost beyond
+    one dpstrf)."""
+    from scipy.linalg.lapack import dpstrf
+
+    dim_e = e.shape[0]
+    if dim_e == 0:
+        return None
+    dmax = float(np.diagonal(e).max(initial=0.0))
+    tol = dim_e * np.finfo(dtype).eps * dmax
+    _c, piv, rank, _info = dpstrf(e, lower=1, tol=tol)
+    rank = int(rank)
+    if rank >= dim_e:
+        return None
+    return np.sort(piv[:rank] - 1).astype(np.int64)
 
 
 def factor_e(e: np.ndarray, dtype) -> tuple[np.ndarray, np.ndarray, int]:
@@ -692,7 +726,7 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
                     b_full = np.asarray(b_eff, np.float32)
                     slice_dev = False
                     _vlog("lobpcg: pencils materialized on host")
-                w_parts, v_parts = [], []
+                w_parts, v_parts, r_parts = [], [], []
                 n_chunks = (n_dom + chunk - 1) // chunk
                 cat = jnp.concatenate if slice_dev else np.concatenate
                 for c in range(n_chunks):
@@ -719,14 +753,18 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
                         np.asarray(w_c[:take], np.float64)[:, :k_cand])
                     v_parts.append(
                         np.asarray(v_c[:take], np.float64)[:, :, :k_cand])
+                    r_parts.append(
+                        np.asarray(_res[:take], np.float64)[:, :k_cand])
                 w_np = np.concatenate(w_parts, axis=0)
                 v_np = np.concatenate(v_parts, axis=0)
+                res_np = np.concatenate(r_parts, axis=0)
                 _vlog("lobpcg: eigenpairs on host")
             else:
                 w, v, _res = batched_lobpcg(
                     a_eff, b_eff, k=k_run, max_it=max_it, shift=shift)
                 w_np = np.asarray(w[:, :k_cand], np.float64)
                 v_np = np.asarray(v[:, :, :k_cand], np.float64)
+                res_np = np.asarray(_res[:, :k_cand], np.float64)
             if reversed_pencil:
                 # map the swapped-pencil mu back to lambda = 1/mu
                 w_np = 1.0 / np.maximum(w_np, np.finfo(np.float64).tiny)
@@ -758,6 +796,15 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
                         for p in range(n_dom)]
             estim = (lobpcg_estim if lobpcg_estim is not None
                      else np.zeros(n_dom, np.int64))
+            # surface KEPT-pair residuals (the checkEPSSolve role,
+            # geneo.cpp:577-624): callers warn above the reference's EPS
+            # tolerance analogue and -geneo_chk aborts
+            kept_res = np.zeros(n_dom)
+            for p in range(n_dom):
+                if keep[p].size:
+                    kept_res[p] = float(res_np[p, keep[p]].max())
+            stats.lobpcg_res = kept_res if stats.lobpcg_res is None \
+                else np.maximum(stats.lobpcg_res, kept_res)
         else:
             keep, estim = _select_columns(w_np, kind, thr, n_real,
                                           opts.no_syl, cut)
@@ -856,6 +903,36 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     e = np.asarray((zg_sp.T @ (a_sp @ zg_sp)).todense())
     e = 0.5 * (e + e.T)
     _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
+    keep = prune_dependent_columns(e, dtype)
+    if keep is not None:
+        # prune the dependent coarse columns so E is SPD and the PC is
+        # nonsingular (vs MUMPS null-pivot fixing, geneo.cpp:76-92)
+        stats.e_pruned = dim_e - keep.size
+        kept_mask = np.zeros(dim_e, bool)
+        kept_mask[keep] = True
+        new_counts = np.array(
+            [int(kept_mask[offsets[p]:offsets[p] + counts[p]].sum())
+             for p in range(n_dom)], np.int64)
+        new_offsets = np.zeros(n_dom, np.int64)
+        np.cumsum(new_counts[:-1], out=new_offsets[1:])
+        new_dim_e = int(new_counts.sum())
+        new_k_max = max(int(new_counts.max()), 1)
+        z2 = np.zeros((n_dom, batch.n_max, new_k_max), np.float64)
+        colids_np = np.full((n_dom, new_k_max), new_dim_e, np.int32)
+        for p in range(n_dom):
+            js = np.flatnonzero(
+                kept_mask[offsets[p]:offsets[p] + counts[p]])
+            z2[p, :, :js.size] = z_np[p][:, js]
+            colids_np[p, :js.size] = new_offsets[p] + np.arange(js.size)
+            stats.eigenvalues[p] = [stats.eigenvalues[p][j] for j in js]
+        e = e[np.ix_(keep, keep)]
+        stats.real_dim_e = new_counts
+        counts, offsets = new_counts, new_offsets
+        dim_e, k_max, z_np = new_dim_e, new_k_max, z2
+        z_loc = jnp.asarray(z_np, dtype)
+        colids = jnp.asarray(colids_np)
+        _vlog(f"pruned {stats.e_pruned} dependent coarse columns "
+              f"(dim_e={dim_e})")
     ev_np, ew_np, stats.e_null = factor_e(e, dtype)
     # round-trip through host numpy so the factors land on the default
     # (accelerator) device uncommitted

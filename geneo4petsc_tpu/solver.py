@@ -153,6 +153,12 @@ def solve_assembled(assembled: AssembledProblem,
     bn = np.linalg.norm(b)
     true_res = float(np.linalg.norm(r) / bn) if bn > 0 else float("inf")
 
+    if int(result.reason) < 0:
+        # DIVERGED_*: dump Krylov + PC state even with debugging off
+        # (checkKSPSolve, src/geneo.cpp:1397-1433)
+        from .utils.debug import dump_failure
+        dump_failure(result, ksp, pc_name, stats=stats)
+
     return SolveOutput(result=result, x=x_np, b=np.asarray(b), pc_name=pc_name,
                        stats=stats, timers=timers, true_res=true_res,
                        n_dof=n, n_elems=assembled.mesh.n_elems,

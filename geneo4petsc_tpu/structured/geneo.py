@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from ..config import GenEOOptions
 from ..ops.lobpcg import matfree_lobpcg
-from ..precond.geneo import GenEOStats, factor_e
+from ..precond.geneo import (GenEOStats, factor_e,
+                             prune_dependent_columns)
 from . import fdm, halo
 from . import local_ops as lo
 from .decompose import StructuredDecomposition
@@ -423,7 +424,12 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     if opts.cut > 0:
         base = np.minimum(base, opts.cut)
     stats.estim_dim_e = base.copy()
-    stats.lobpcg_res = res_np
+    # kept-pair residual maxima (the kept set is the ascending prefix)
+    kept_res = np.zeros(n_dom)
+    for p in range(n_dom):
+        if base[p] > 0:
+            kept_res[p] = float(res_np[p, :base[p]].max())
+    stats.lobpcg_res = kept_res
 
     # Nicolaides near-kernel test (geneo.cpp:897-955): quadratic forms of
     # the constant vector through the stencil operators
@@ -495,6 +501,38 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     y_dil = y_dil * f_dil.mask[..., None].astype(dtype)
     e = _coarse_e(sd, z, y_dil, counts)
     _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
+    keep = prune_dependent_columns(e, dtype)
+    if keep is not None:
+        # prune dependent coarse columns (see the generic path): E becomes
+        # SPD, dim_e shrinks by exactly the dependency count
+        stats.e_pruned = dim_e - keep.size
+        kept_mask = np.zeros(dim_e, bool)
+        kept_mask[keep] = True
+        new_counts = np.array(
+            [int(kept_mask[offs[p]:offs[p] + counts[p]].sum())
+             for p in range(n_dom)], np.int64)
+        new_offs = np.zeros(n_dom, np.int64)
+        np.cumsum(new_counts[:-1], out=new_offs[1:])
+        new_dim_e = int(new_counts.sum())
+        new_k_max = max(int(new_counts.max()), 1)
+        gidx = np.zeros((n_dom, new_k_max), np.int64)
+        colids_np = np.full((n_dom, new_k_max), new_dim_e, np.int32)
+        for p in range(n_dom):
+            js = np.flatnonzero(kept_mask[offs[p]:offs[p] + counts[p]])
+            gidx[p, :js.size] = js
+            colids_np[p, :js.size] = new_offs[p] + np.arange(js.size)
+            stats.eigenvalues[p] = [stats.eigenvalues[p][j] for j in js]
+        colmask = np.arange(new_k_max)[None, :] < new_counts[:, None]
+        z = jnp.take_along_axis(
+            z, jnp.asarray(gidx)[:, None, None, None, :], axis=-1) \
+            * jnp.asarray(colmask, dtype)[:, None, None, None, :]
+        e = e[np.ix_(keep, keep)]
+        stats.real_dim_e = new_counts.copy()
+        counts, offs = new_counts, new_offs
+        dim_e, k_max = new_dim_e, new_k_max
+        colids = jnp.asarray(colids_np)
+        _vlog(f"pruned {stats.e_pruned} dependent coarse columns "
+              f"(dim_e={dim_e})")
     ev_np, ew_np, stats.e_null = factor_e(e, dtype)
     e_evecs = jnp.asarray(ev_np, dtype)
     e_eig_inv = jnp.asarray(1.0 / ew_np, dtype)

@@ -41,13 +41,42 @@ def check_rank_z(zg: np.ndarray) -> None:
             f"GenEO - check rank: Z = Q*R with R({i}, {i}) = {d.min()}")
 
 
+def check_eigensolver(stats, tol: float, prefix: str = "check") -> None:
+    """Abort when any KEPT eigenpair's residual exceeds the EPS tolerance
+    analogue, after dumping the per-domain residual state (the
+    checkEPSSolve discipline: dump solver state, then SETERRABORT —
+    src/geneo.cpp:577-624)."""
+    if stats is None or stats.lobpcg_res is None:
+        return
+    res = np.asarray(stats.lobpcg_res, np.float64)
+    bad = np.flatnonzero(res > tol)
+    if bad.size == 0:
+        return
+    width = len(str(res.size))
+    for p in bad:
+        with open(f"{prefix}{p:0{width}d}.eps.failure.log", "w") as f:
+            f.write(f"eigensolver residual {res[p]:.6e} > tol {tol:g}\n")
+            f.write(f"kept columns {int(stats.real_dim_e[p])}, "
+                    f"nicolaides {int(stats.nicolaides[p])}\n")
+            if stats.eigenvalues:
+                f.write("kept eigenvalues: "
+                        + " ".join(f"{w:.6e}"
+                                   for w in stats.eigenvalues[p]) + "\n")
+    raise CheckError(
+        f"GenEO - check EPS: {bad.size} domain(s) with unconverged kept "
+        f"eigenpairs (max residual {res.max():.3e} > {tol:g}); state "
+        f"dumped to {prefix}*.eps.failure.log")
+
+
 def run_checks(assembled, pc, pc_type: str,
-               spd_limit: int = 3000) -> None:
+               spd_limit: int = 3000, stats=None,
+               eps_tol: float = 1e-3) -> None:
     """Run the -geneo_chk battery (sized-gated dense SPD checks)."""
     if assembled.n_dof <= spd_limit:
         check_spd(assembled.a_csr.toarray(), "A")
     if pc_type != "geneo" or pc is None:
         return
+    check_eigensolver(stats, eps_tol)
     if pc.pou is not None:
         check_pou(np.asarray(pc.pou), np.asarray(pc.batch.mask))
     if pc.z_loc is not None and pc.dim_e:

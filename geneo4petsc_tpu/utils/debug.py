@@ -80,6 +80,35 @@ def dump_setup(pc, stats, decomp=None, prefix: str = "debug",
                                 f"index {gid} (local index {loc})\n")
 
 
+def dump_failure(result, ksp, pc_name: str, stats=None,
+                 prefix: str = "debug") -> None:
+    """Dump Krylov + PC state on a DIVERGED_* outcome, even when debugging
+    is off — the checkKSPSolve discipline (KSPView/BVView to debug files
+    before aborting, src/geneo.cpp:1397-1433, :577-624)."""
+    from ..krylov import common as kcm
+
+    with open(f"{prefix}.failure.ksp.log", "w") as f:
+        f.write(f"reason: {kcm.reason_string(int(result.reason))} "
+                f"({int(result.reason)})\n")
+        f.write(f"iterations: {int(result.its)}\n")
+        f.write(f"residual norm: {float(result.rnorm):.12e}\n")
+        f.write(f"ksp type: {ksp.type}, rtol {ksp.rtol:g}, atol "
+                f"{ksp.atol:g}, dtol {ksp.dtol:g}, max_it {ksp.max_it}\n")
+        f.write(f"pc: {pc_name}\n")
+        if stats is not None:
+            f.write(f"dim_e: {int(stats.real_dim_e.sum())} "
+                    f"(nicolaides {int(stats.nicolaides.sum())}, "
+                    f"e_null {stats.e_null}, e_pruned {stats.e_pruned})\n")
+            if stats.lobpcg_res is not None:
+                f.write("eigensolver kept-pair residual max: "
+                        f"{float(np.max(stats.lobpcg_res)):.6e}\n")
+        h = np.asarray(result.history, np.float64)
+        h = h[~np.isnan(h)]
+        f.write("residual history:\n")
+        for i, r in enumerate(h):
+            f.write(f"  {i}: {r:.12e}\n")
+
+
 def dump_timing(timers, prefix: str = "debug") -> None:
     """Per-run timing dump (destroyGenEOPC writes debug*.timing.log when
     -geneo_dbg >= 1, geneo.cpp:2189-2215)."""

@@ -69,3 +69,51 @@ def test_plot_renders_png(tmp_path, monkeypatch):
     assert r.returncode == 0, r.stderr
     assert out_png.exists() and out_png.stat().st_size > 1000
     assert "surfaces to plot" in r.stdout
+
+
+def test_failure_dump_on_divergence(tmp_path, monkeypatch):
+    """A DIVERGED_* outer reason must dump Krylov/PC state even with
+    debugging off (checkKSPSolve discipline, geneo.cpp:1397-1433)."""
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    rc = cli.run(["--inpLibA", "laplacian", "--inpLibArg",
+                  "--size#12#--dim#2#--kappa#100000.#quad", "--nbPart", "4",
+                  "-pc_type", "none", "-ksp_type", "cg",
+                  "-ksp_max_it", "3", "-ksp_rtol", "1e-12"], out=buf)
+    assert rc == 0
+    assert "diverged" in buf.getvalue()
+    assert os.path.exists("debug.failure.ksp.log")
+    txt = open("debug.failure.ksp.log").read()
+    assert "DIVERGED" in txt
+    assert "residual history" in txt
+
+
+def test_no_failure_dump_on_convergence(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    rc = cli.run(["--inpLibA", "laplacian", "--inpLibArg",
+                  "--size#8#--dim#2", "--nbPart", "2",
+                  "-pc_type", "geneo", "-geneo_lvl", "ASM,1",
+                  "--shortRes"], out=buf)
+    assert rc == 0
+    assert not os.path.exists("debug.failure.ksp.log")
+
+
+def test_eigensolver_residual_wrng_and_check(tmp_path, monkeypatch):
+    """Unconverged kept eigenpairs (forced by a 1-iteration LOBPCG) must
+    surface as a WRNG line, and -geneo_chk must abort after dumping the
+    per-domain EPS state (checkEPSSolve, geneo.cpp:577-624)."""
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    args = ["--inpLibA", "laplacian", "--inpLibArg",
+            "--size#16#--dim#2#--kappa#100000.#quad", "--nbPart", "4",
+            "-pc_type", "geneo", "-geneo_lvl", "ASM,1",
+            "-geneo_cut", "2", "-els2_type", "lobpcg",
+            "-els2_max_it", "1", "-ksp_max_it", "500"]
+    rc = cli.run(args, out=buf)
+    assert rc == 0
+    assert "WRNG: eigensolver residual" in buf.getvalue()
+    buf2 = io.StringIO()
+    rc2 = cli.run(args + ["-geneo_chk", "log"], out=buf2)
+    assert rc2 != 0
+    assert any(f.endswith(".eps.failure.log") for f in os.listdir("."))

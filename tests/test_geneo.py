@@ -182,21 +182,46 @@ def test_geneo_3d_laplacian():
     assert np.allclose(np.asarray(out.x), np.arange(1.0, n + 1), atol=1e-4)
 
 
-def test_rank_deficient_e_warns():
-    """dim_e > n_dof forces a rank-deficient E; the truncating spectral
-    pseudo-inverse (MUMPS null-pivot-fix analogue) must report the fixed
-    null-pivot count so callers know the preconditioned norm is blind on
-    those directions."""
+def test_rank_deficient_e_pruned():
+    """dim_e > n_dof forces a rank-deficient raw E; the pivoted-Cholesky
+    pruning pass must drop EXACTLY the raw null count, leave an SPD E
+    (no truncating-pinv null modes), and the PC must stay nonsingular —
+    the principled replacement for MUMPS null-pivot fixing
+    (geneo.cpp:76-92)."""
+    from geneo4petsc_tpu.precond import geneo as _g
+
+    raw_e = []
+    orig = _g.prune_dependent_columns
+
+    def capture(e, dtype):
+        raw_e.append(np.asarray(e, np.float64).copy())
+        return orig(e, dtype)
+
     mesh = laplacian.get_input("--size 20 --dim 2 --kappa 100000. quad")
     g = _opts("SORAS,E2")
-    out = solve_mesh(mesh, n_dom=16, pc_type="geneo", geneo=g,
-                     ksp=KSPOptions(type="cg", rtol=1e-10, max_it=400),
-                     driver=DriverOptions(add_overlap=1))
-    assert out.pc.dim_e > mesh.n_nodes      # genuinely rank-deficient
-    assert out.stats.e_null > 0
+    old = _g.prune_dependent_columns
+    _g.prune_dependent_columns = capture
+    try:
+        out = solve_mesh(mesh, n_dom=16, pc_type="geneo", geneo=g,
+                         ksp=KSPOptions(type="cg", rtol=1e-10, max_it=400),
+                         driver=DriverOptions(add_overlap=1))
+    finally:
+        _g.prune_dependent_columns = old
+    assert out.stats.e_pruned > 0
+    assert out.stats.e_null == 0            # pruned E is SPD
+    assert out.pc.dim_e <= mesh.n_nodes     # rank bound restored
+    # dim_e shrank by exactly the raw E's numerical null count
+    e0 = raw_e[0]
+    ew = np.linalg.eigvalsh(e0)
+    tol = e0.shape[0] * np.finfo(np.float64).eps * np.abs(ew).max()
+    assert out.stats.e_pruned == int((ew <= tol).sum())
+    assert out.pc.dim_e + out.stats.e_pruned == e0.shape[0]
+    assert out.converged
 
 
-def test_rank_deficient_e_wrng_line():
+def test_rank_deficient_e_no_wrng_line():
+    """With pruning in place the rank-deficiency warning must be gone and
+    the solve must converge cleanly through the CLI."""
     import io
 
     from geneo4petsc_tpu import cli
@@ -208,7 +233,8 @@ def test_rank_deficient_e_wrng_line():
                   "--nbPart", "16", "--addOverlap", "1",
                   "-ksp_type", "cg", "--verbose", "1"], out=buf)
     assert rc == 0
-    assert "WRNG: E is rank-deficient" in buf.getvalue()
+    assert "WRNG: E is rank-deficient" not in buf.getvalue()
+    assert "converged" in buf.getvalue()
 
 
 def test_device_pencils_match_host_construction():
