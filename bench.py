@@ -2,9 +2,17 @@
 
 Metric (BASELINE.json): CG iters to 1e-8 + setup/solve seconds per MDOF
 (high-contrast Laplacian).  The hot path runs in float32 on the MXU; an
-outer float64 iterative-refinement loop drives the TRUE residual
-||AX - B|| / ||B|| below 1e-8 (the reference's all-double semantics, the
-TPU-native way).
+outer float64 iterative-refinement loop (device-resident, emulated f64)
+drives the TRUE residual ||AX - B|| / ||B|| below 1e-8 — the reference's
+all-double semantics, the TPU-native way.
+
+Default mode "10m" is the BASELINE.md config #5 scale target: a 10M-DOF
+3D high-contrast Laplacian, 64 subdomains, overlap 2, efficient GenEO
+(E1) with batched matrix-free LOBPCG eigensolves and fast-diagonalization
+subdomain solves on the structured backend (the MUMPS-sparse-LU
+replacement, src/geneo.cpp:94-124 / :626-780).  Legacy generic-path modes
+(xlarge/large/medium: the dense-block MatIS path at 1M/262k/32k DOF in
+2D) remain for comparison.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 value = (setup + solve) seconds scaled to one MDOF; lower is better.
@@ -31,41 +39,123 @@ def _log(msg):
               file=sys.stderr, flush=True)
 
 
-def main():
-    # default: the 1M-DOF / 4096-subdomain config — fully on-chip setup
-    # (COO-upload of the operator blocks, device L1 factor + pencils,
-    # chunked batched LOBPCG), ~110 s/MDOF end-to-end on one v5e chip.
-    # "large" = 262k / 1024 domains; "medium" = 32k dense-eigh config.
-    mode = sys.argv[1] if len(sys.argv) > 1 else "xlarge"
-    if mode == "xlarge":
-        size, n_grid = 1000, 64
-    elif mode == "large":
-        size, n_grid = 512, 32
-    elif mode == "medium":
-        size, n_grid = 180, 16
-    else:
-        size = int(sys.argv[1])
-        n_grid = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    large = mode in ("large", "xlarge")
+def _start_warmup():
+    """Warm the compile service + device->host pull path in the
+    background: the FIRST compile RPC and the FIRST pull in a process pay
+    a one-time service init (observed minutes in bad weather on tunneled
+    platforms); overlapping them with host-side setup hides the wall (the
+    thread blocks on the RPC and releases the GIL)."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    def _warm():
+        ids = jnp.asarray(np.arange(64, dtype=np.int32) % 16)
+
+        def tiny(xw):
+            return jax.ops.segment_sum(xw[ids], ids, num_segments=17)
+
+        r = jax.jit(tiny)(jnp.ones(64, jnp.float32))
+        jax.block_until_ready(r)
+        np.asarray(r)
+        _log("device warm-up (compile service + pull path) finished")
+
+    threading.Thread(target=_warm, daemon=True).start()
+
+
+def bench_structured(size, dom_g, overlap):
+    """BASELINE #5: 3D high-contrast structured GenEO at scale."""
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # x64 for the device-resident f64 refinement; every hot-path dtype is
+    # an explicit f32, so the MXU path is unaffected
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from geneo4petsc_tpu.config import GenEOOptions, KSPOptions
+    from geneo4petsc_tpu.structured.grid import laplacian_grid
+    from geneo4petsc_tpu.structured.solve import solve_structured
+
+    _start_warmup()
+
+    _log(f"building {size}^3 grid")
+    t0 = time.perf_counter()
+    grid = laplacian_grid(size, dim=3, kappa_max=10000.0, interp="minmax")
+    t_gen = time.perf_counter() - t0
+
+    opts = GenEOOptions()
+    opts.lvl1 = os.environ.get("BENCH_LVL1", "ASM")
+    opts.lvl2 = os.environ.get("BENCH_LVL2", "E1")
+    opts.els2.type = "lobpcg"
+    opts.els2.max_it = int(os.environ.get("BENCH_EIG_IT", "50"))
+    opts.cut = int(os.environ.get("BENCH_CUT", "2"))
+
+    _log(f"solving: n={grid.n_nodes}, {dom_g}^3 domains, overlap {overlap}, "
+         f"GenEO-{opts.lvl1},{opts.lvl2}")
+    out = solve_structured(grid, (dom_g, dom_g, dom_g), overlap,
+                           geneo=opts, ksp=KSPOptions(type="cg"), tol=1e-8)
+    _log("solve done")
+
+    n = grid.n_nodes
+    x_true = jnp.arange(1.0, n + 1, dtype=jnp.float64)
+    err = float(jnp.max(jnp.abs(jnp.asarray(out.x) - x_true))) / n
+
+    t_setup = out.timers.get("setup")
+    t_solve = out.timers.get("solve")
+    mdof = n / 1e6
+    per_mdof = (t_setup + t_solve) / mdof
+    target = 60.0  # conservative 64-rank MPI CPU GenEO wall proxy
+
+    return {
+        "metric": "setup+solve sec per MDOF, 10M-DOF 3D high-contrast "
+                  f"Laplacian, GenEO-{opts.lvl1},{opts.lvl2}+CG to true "
+                  "1e-8 (structured FDM/LOBPCG backend)",
+        "value": round(per_mdof, 3),
+        "unit": "s/MDOF",
+        "vs_baseline": round(target / per_mdof, 3),
+        "n_dof": n,
+        "n_dom": dom_g ** 3,
+        "overlap": overlap,
+        "dim_e": int(out.stats.real_dim_e.sum()),
+        "inner_its": out.refined.inner_its,
+        "outer_its": out.refined.outer_its,
+        "true_res": out.true_res,
+        "rel_err_max": err,
+        "converged": bool(out.converged),
+        "setup_s": round(t_setup, 3),
+        "solve_s": round(t_solve, 3),
+        "partition_s": round(out.timers.get("partition"), 3),
+        "rhs_s": round(out.timers.get("createA"), 3),
+        "generator_s": round(t_gen, 3),
+        "eig_s": round(out.timers.get("l2_eig"), 3),
+        "device": str(__import__("jax").devices()[0]),
+    }
+
+
+def bench_generic(size, n_grid, large):
+    """Legacy generic-path (dense-block MatIS) bench — 2D at <= 1M DOF."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from geneo4petsc_tpu.assembly.assemble import assemble
     from geneo4petsc_tpu.config import GenEOOptions
-    from geneo4petsc_tpu.krylov.refine import refined_solve
+    from geneo4petsc_tpu.krylov.refine import (make_pc_inner_solver,
+                                               refined_solve)
     from geneo4petsc_tpu.models import laplacian
     from geneo4petsc_tpu.partition.decompose import decompose_nodal_fast
     from geneo4petsc_tpu.partition.kway import partition_structured_grid
     from geneo4petsc_tpu.precond.geneo import setup_geneo
 
+    _start_warmup()
     dtype = jnp.float32
     n_dom = n_grid * n_grid
 
-    # --- host-side problem build + partition (structured fast path) ---
     _log(f"generating mesh size={size}")
     t0 = time.perf_counter()
     mesh = laplacian.get_input(
@@ -83,48 +173,15 @@ def main():
     ap = assemble(mesh, decomp, dtype=dtype)
     t_asm = time.perf_counter() - t0
 
-    # warm up the device compile pipeline in the background: the FIRST
-    # gather/scatter compile on tunneled TPU platforms pays a ~3-minute
-    # one-time service warm-up; overlapping it with host-side GenEO setup
-    # hides most of that wall (the thread blocks on the compile RPC and
-    # releases the GIL)
-    import threading
-
-    def _warm():
-        ids = jnp.asarray(np.arange(64, dtype=np.int32) % 16)
-
-        def tiny(xw):
-            return jax.ops.segment_sum(xw[ids], ids, num_segments=17)
-
-        r = jax.jit(tiny)(jnp.ones(64, jnp.float32))
-        jax.block_until_ready(r)
-        # also warm the device->host transfer path: the FIRST pull in a
-        # process pays a one-time service init (observed up to ~5 min in
-        # bad weather); a tiny pull here hides it behind host-side setup
-        np.asarray(r)
-        _log("device gather/scatter warm-up compile finished")
-
-    warm_thread = threading.Thread(target=_warm, daemon=True)
-    warm_thread.start()
-
-    # --- GenEO setup (batched eigensolves on the TPU) ---
     _log(f"n_max={ap.batch.n_max}; GenEO setup")
     t0 = time.perf_counter()
     opts = GenEOOptions()
     opts.lvl1 = os.environ.get("BENCH_LVL1", "ASM")
     opts.lvl2 = os.environ.get("BENCH_LVL2", "E1")
-    # MXU fast path: precomputed block inverses (one batched matmul per
-    # local solve); inner-PC rounding is absorbed by the f64 refinement
     opts.dls1.type = "inverse"
     if large:
-        # iterative eigensolve on the chip (the ARPACK-equivalent path):
-        # k = cut candidates per domain instead of the full local spectrum
         opts.els2.type = "lobpcg"
         opts.cut = 4
-        # NOTE: 30 LOBPCG iterations give the identical tau SELECTION at
-        # ~60% of the eigensolve cost, but the kept eigenVECTORS are less
-        # converged and CG iterations double (62 -> 126 at 1M) — the
-        # default 50 is the measured sweet spot end-to-end
     pc, stats = setup_geneo(ap.batch, opts, decomp=decomp, a_csr=ap.a_csr)
     jax.block_until_ready(pc.z_loc)
     t_setup = time.perf_counter() - t0
@@ -137,16 +194,13 @@ def main():
         return b - ap.a_csr @ x
 
     _log(f"setup done dimE={int(stats.real_dim_e.sum())}; compiling solver")
-    from geneo4petsc_tpu.krylov.refine import make_pc_inner_solver
-    # the preconditioner pytree is a traced jit argument (constants would
-    # be constant-folded by XLA: compile time scales with operator size)
     inner = make_pc_inner_solver(pc)
 
-    # warm-up / compile (cached in production; reported separately)
     t0 = time.perf_counter()
     r0 = refined_solve(None, None, b, residual64, tol=1e-8,
                        max_outer=8, inner_solver=inner)
     t_compile_and_first = time.perf_counter() - t0
+    del r0
 
     _log("warm solve done; timing solve")
     t0 = time.perf_counter()
@@ -157,16 +211,15 @@ def main():
 
     err = float(np.abs(r.x - x_true).max() / n)
     mdof = n / 1e6
-    wall = t_setup + t_solve
-    per_mdof = wall / mdof
-    target_per_mdof = 60.0  # conservative 64-rank MPI CPU GenEO wall proxy
+    per_mdof = (t_setup + t_solve) / mdof
 
-    out = {
+    return {
         "metric": "setup+solve sec per MDOF, high-contrast 2D Laplacian, "
-                  f"GenEO-{opts.lvl1},{opts.lvl2}+CG to true 1e-8",
+                  f"GenEO-{opts.lvl1},{opts.lvl2}+CG to true 1e-8 "
+                  "(generic dense-block path)",
         "value": round(per_mdof, 3),
         "unit": "s/MDOF",
-        "vs_baseline": round(target_per_mdof / per_mdof, 3),
+        "vs_baseline": round(60.0 / per_mdof, 3),
         "n_dof": n,
         "n_dom": n_dom,
         "dim_e": int(stats.real_dim_e.sum()),
@@ -183,6 +236,23 @@ def main():
         "generator_s": round(t_gen, 3),
         "device": str(jax.devices()[0]),
     }
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "10m"
+    if mode == "10m":
+        # BASELINE #5: 10,077,696 DOF (216^3), 64 domains, overlap 2
+        out = bench_structured(216, 4, 2)
+    elif mode == "3d1m":
+        out = bench_structured(108, 4, 2)
+    elif mode in ("xlarge", "large", "medium"):
+        size, n_grid = {"xlarge": (1000, 64), "large": (512, 32),
+                        "medium": (180, 16)}[mode]
+        out = bench_generic(size, n_grid, mode in ("large", "xlarge"))
+    else:
+        size = int(sys.argv[1])
+        g = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        out = bench_structured(size, g, 2)
     print(json.dumps(out))
 
 

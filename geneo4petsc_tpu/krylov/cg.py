@@ -26,7 +26,14 @@ def cg_solve(matvec: Callable, b: jax.Array,
              x0: jax.Array | None = None,
              rtol: float = 1e-5, atol: float = 1e-50, dtol: float = 1e4,
              max_it: int = 10000,
-             norm_type: str = "preconditioned") -> cm.SolveResult:
+             norm_type: str = "preconditioned",
+             stall_its: int | None = None) -> cm.SolveResult:
+    """stall_its (OFF by default — PETSc has no stagnation test): exit
+    with CONVERGED_STEP_LENGTH when the residual norm has not improved
+    for `stall_its` consecutive iterations.  Used by the mixed-precision
+    refinement drivers, where the f32 roundoff floor is problem-scaled
+    and an unreachable rtol would otherwise burn max_it iterations at the
+    floor (the f64 outer loop owns true convergence)."""
     dtype = b.dtype
     if pc_apply is None:
         pc_apply = lambda v: v
@@ -63,11 +70,11 @@ def cg_solve(matvec: Callable, b: jax.Array,
                         cm.DIVERGED_INDEFINITE_PC, reason0)
 
     def cond(state):
-        _, _, _, _, _, _, reason, _, _ = state
+        reason = state[6]
         return reason == cm.CONVERGED_ITERATING
 
     def body(state):
-        x, r, z, p, rz, it, reason, rnorm, hist = state
+        x, r, z, p, rz, it, reason, rnorm, hist, best, since = state
         w = matvec(p)
         pw = jnp.vdot(p, w)
         alpha = rz / pw
@@ -84,12 +91,22 @@ def cg_solve(matvec: Callable, b: jax.Array,
                            cm.DIVERGED_INDEFINITE_MAT, reason)
         reason = jnp.where((rz2 < eps0) & (reason == 0),
                            cm.DIVERGED_INDEFINITE_PC, reason)
+        if stall_its is not None:
+            # 1% improvement resets the window: genuine convergence beats
+            # this easily (even factor-0.99-per-50-its would be ~60k its
+            # to 1e-5), while a roundoff-floor bounce does not
+            improved = rn < 0.99 * best
+            since = jnp.where(improved, jnp.int32(0), since + 1)
+            best = jnp.minimum(best, rn)
+            reason = jnp.where((since >= stall_its) & (reason == 0),
+                               cm.CONVERGED_STEP_LENGTH, reason)
         beta = rz2 / rz
         p = z2 + beta * p
-        return x, r, z2, p, rz2, it, reason, rn, hist
+        return x, r, z2, p, rz2, it, reason, rn, hist, best, since
 
-    state0 = (x0, r0, z0, z0, rz0, jnp.int32(0), reason0, rnorm0, history)
-    x, _, _, _, _, it, reason, rnorm, hist = jax.lax.while_loop(
+    state0 = (x0, r0, z0, z0, rz0, jnp.int32(0), reason0, rnorm0, history,
+              rnorm0, jnp.int32(0))
+    x, _, _, _, _, it, reason, rnorm, hist, _, _ = jax.lax.while_loop(
         cond, body, state0)
     return cm.SolveResult(x=x, its=it, reason=reason, rnorm=rnorm,
                           history=hist)

@@ -28,16 +28,20 @@ from . import batched_linalg as bl
 
 
 def _hi(dt):
-    """Dtype for the tiny [m, m] eigendecompositions: f64 when available.
+    """Dtype for the tiny [m, m] eigendecompositions: f64 on CPU backends.
 
-    TPU's native f32 eigh is an iterative algorithm with ~1e-3 residual /
-    orthogonality error — repeated whitening with it stalls LOBPCG on
-    ill-conditioned pencils (measured: kept Ritz residuals plateau at
-    ~0.5 on the 1M-bench GenEO pencil).  The grams are tiny, so emulated
-    f64 eigh costs nothing; large matmuls stay f32 with HIGHEST (6-pass
-    bf16) MXU precision."""
+    CPU (LAPACK) f32 eigh has ~1e-3 residual / orthogonality error —
+    repeated whitening with it stalls LOBPCG on ill-conditioned pencils
+    (measured: kept Ritz residuals plateau at ~0.5 on the 1M-bench GenEO
+    pencil); the grams are tiny, so f64 eigh costs nothing there.  On TPU
+    the f64 emulation of eigh is NOT reliable (measured: NaN spectra at
+    the 10M bench when x64 is enabled process-wide) — the TPU path stays
+    in f32, where the rotation-free symmetric whitening (below) is the
+    load-bearing robustness fix; large matmuls use HIGHEST (6-pass bf16)
+    MXU precision either way."""
     import jax as _jax
-    return jnp.float64 if _jax.config.jax_enable_x64 else dt
+    return jnp.float64 if (_jax.config.jax_enable_x64
+                           and _jax.default_backend() == "cpu") else dt
 
 
 def _whiten(s, bs):

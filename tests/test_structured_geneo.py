@@ -164,3 +164,32 @@ def test_structured_rejects_unsupported():
         sg.setup_structured(sd, _opts("SORAS,0"))
     with pytest.raises(ValueError, match="generic path"):
         sg.setup_structured(sd, _opts("ASM,2"))
+
+
+def test_device_refine_matches_host_refine():
+    """The device-resident f64 refinement loop must reach the same
+    tolerance with the same preconditioner as the host-CSR loop."""
+    import jax.numpy as jnp
+
+    from geneo4petsc_tpu.config import GenEOOptions
+    from geneo4petsc_tpu.structured.grid import laplacian_grid
+    from geneo4petsc_tpu.structured.solve import solve_structured
+
+    grid = laplacian_grid(16, dim=3, kappa_max=1000.0, interp="minmax")
+    g = GenEOOptions()
+    g.lvl1, g.lvl2 = "ASM", "E1"
+    host = solve_structured(grid, (2, 2, 2), 1, geneo=g, tol=1e-9,
+                            device_refine=False)
+    dev = solve_structured(grid, (2, 2, 2), 1, geneo=g, tol=1e-9,
+                           device_refine=True)
+    assert host.converged and dev.converged
+    assert dev.true_res <= 1e-9
+    n = grid.n_nodes
+    x_true = np.arange(1.0, n + 1)
+    assert np.allclose(np.asarray(dev.x, np.float64), x_true,
+                       rtol=1e-6, atol=1e-5)
+    # the two refinement drivers agree to the solve tolerance (each stops
+    # at its own refinement state below 1e-9, so agreement is ~cond*tol)
+    assert np.allclose(np.asarray(dev.x, np.float64),
+                       np.asarray(host.x, np.float64), rtol=1e-5, atol=1e-4)
+    del jnp
