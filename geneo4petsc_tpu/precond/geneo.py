@@ -43,11 +43,15 @@ class GenEOStats:
     src/geneo4PETSc.cpp:968-988)."""
 
     estim_dim_e: np.ndarray   # [n_dom] Sylvester estimates
-    real_dim_e: np.ndarray    # [n_dom] actual coarse columns
+    real_dim_e: np.ndarray    # [n_dom] actual coarse columns (post-prune)
     nicolaides: np.ndarray    # [n_dom] constant vectors added
     tau_loc: np.ndarray       # [n_dom] local tau (GenEO-2)
     gamma_loc: np.ndarray     # [n_dom] local gamma (GenEO-2)
     eigenvalues: list = field(default_factory=list)  # per-domain kept spectra
+    # [n_dom] columns SELECTED by the eigenproblem windows + Nicolaides,
+    # BEFORE dependent-column pruning — the quantity the eigensolver-path
+    # selection-parity contract is about (None until level-2 setup ran)
+    raw_dim_e: np.ndarray | None = None
     # number of (near-)null modes of E fixed by the truncating spectral
     # pseudo-inverse — the MUMPS ICNTL(24)/CNTL(5) null-pivot analogue.
     # When > 0 the PC is singular on those directions and CG's default
@@ -858,6 +862,7 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
         stats.real_dim_e[p] = len(cols[p])
 
     counts = stats.real_dim_e
+    stats.raw_dim_e = counts.copy()
     offsets = np.zeros(n_dom, np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
     dim_e = int(counts.sum())

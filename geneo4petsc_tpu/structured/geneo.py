@@ -458,6 +458,7 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     stats.nicolaides = nic.astype(np.int64)
     counts = base + nic
     stats.real_dim_e = counts.copy()
+    stats.raw_dim_e = counts.copy()
     stats.eigenvalues = [
         [float(x) for x in w_np[p, :base[p]]] + ([0.0] if nic[p] else [])
         for p in range(n_dom)]

@@ -130,7 +130,11 @@ def test_geneo2_selection_parity_dummy_heat():
             g.lvl1, g.lvl2 = "SORAS", "2"
             g.els2.type = els
             _pc, st = setup_geneo(ap.batch, g, decomp=decomp)
-            counts[els] = st.real_dim_e.copy()
+            # compare the RAW window selection: the post-selection
+            # dependent-column pruning (prune_dependent_columns) may
+            # legitimately drop different near-dependent columns per
+            # eigensolver path — the parity contract is the filter
+            counts[els] = st.raw_dim_e.copy()
         np.testing.assert_array_equal(counts["eigh"], counts["lobpcg"])
 
 

@@ -22,26 +22,30 @@ from contextlib import redirect_stdout
 HERE = os.path.dirname(os.path.abspath(__file__))
 GOLDEN = os.path.join(HERE, "golden")
 # reduced matrix: 2 np x 2 metis x 1 tol x 8 PCs x 2 scalings = 64 per
-# workload (the reference's full matrix is 928; run sweep.py --full for it)
+# workload; --full runs the reference's complete 928-log matrix per
+# workload (the count asserted by tst/laplacian/laplacianTest.sh:16-19)
 EXPECTED_LOGS = {"laplacian": 64, "heat": 64, "graph": 64}
+EXPECTED_LOGS_FULL = 928
 
 
-def run_workload(wl: str, update: bool) -> int:
+def run_workload(wl: str, update: bool, full: bool = False) -> int:
     sys.path.insert(0, HERE)
     import plot as plot_mod
     import sweep as sweep_mod
 
-    out_dir = os.path.join("/tmp", f"g4p_check_{wl}")
+    out_dir = os.path.join("/tmp", f"g4p_check_{wl}" + ("_full" if full
+                                                        else ""))
     shutil.rmtree(out_dir, ignore_errors=True)
     for scaling in ("strong", "weak"):
-        rc = sweep_mod.run_sweep(wl, scaling, out_dir, full=False)
+        rc = sweep_mod.run_sweep(wl, scaling, out_dir, full=full)
         if rc != 0:
             print(f"ERROR: {wl} {scaling} sweep failed", file=sys.stderr)
             return 1
     logs = [f for f in os.listdir(out_dir) if f.endswith(".log")]
-    if len(logs) != EXPECTED_LOGS[wl]:
+    expected = EXPECTED_LOGS_FULL if full else EXPECTED_LOGS[wl]
+    if len(logs) != expected:
         print(f"ERROR: {wl}: {len(logs)} logs, expected "
-              f"{EXPECTED_LOGS[wl]}", file=sys.stderr)
+              f"{expected}", file=sys.stderr)
         return 1
 
     buf = io.StringIO()
@@ -54,7 +58,8 @@ def run_workload(wl: str, update: bool) -> int:
         sys.argv = argv
     got = buf.getvalue()
 
-    ref_path = os.path.join(GOLDEN, f"{wl}Plot.ref")
+    ref_path = os.path.join(GOLDEN,
+                            f"{wl}Plot{'Full' if full else ''}.ref")
     if update:
         os.makedirs(GOLDEN, exist_ok=True)
         with open(ref_path, "w") as f:
@@ -74,13 +79,14 @@ def run_workload(wl: str, update: bool) -> int:
 def main() -> int:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     update = "--update" in sys.argv
+    full = "--full" in sys.argv
     rc = 0
     if what in ("dummy", "all"):
         rc |= subprocess.run(
             [sys.executable, os.path.join(HERE, "dummy_check.py")]).returncode
     for wl in ("laplacian", "heat", "graph"):
         if what in (wl, "all"):
-            rc |= run_workload(wl, update)
+            rc |= run_workload(wl, update, full=full)
     print("OK" if rc == 0 else "FAILED")
     return rc
 

@@ -93,7 +93,11 @@ def run_sweep(workload: str, scaling: str, out_dir: str, full: bool) -> int:
     nps = [1, 2]  # the reference pins np to {1, 2} too (STRONG_MPI="01 02")
     tols = ["1.e-05"] if not full else ["1.e-04", "1.e-05"]
     metis = ["--metisDual", "--metisNodal"]
-    pcs = PC_MATRIX if full else REDUCED_PCS
+    # --full reproduces the reference's EXACT 21-config matrix
+    # (laplacianRun.sh:31-51) => 464 logs per scaling, 928 per workload
+    # (the count asserted by laplacianTest.sh:16-19); the mg comparison PC
+    # is our extension and stays in the reduced matrix only
+    pcs = [p for p in PC_MATRIX if "mg" not in p] if full else REDUCED_PCS
     taugamma = ([("0.1", "8."), ("0.2", "12.")] if full
                 else [("0.1", "8.")])
     optims = (["0.00", "0.02"] if full else ["0.00"])
@@ -148,6 +152,12 @@ def run_sweep(workload: str, scaling: str, out_dir: str, full: bool) -> int:
                                       file=sys.stderr)
                                 return 1
                             count += 1
+    if full and count != 464:
+        # the reference asserts the exact matrix size
+        # (tst/laplacian/laplacianTest.sh:16-19: 928 = 464 x 2 scalings)
+        print(f"ERROR: full sweep produced {count} logs, expected 464",
+              file=sys.stderr)
+        return 1
     print(f"Info: {count} run(s) converged")
     return 0
 
