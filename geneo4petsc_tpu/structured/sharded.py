@@ -1,0 +1,110 @@
+"""Multi-device structured GenEO: shard the domain grid's Z axis.
+
+The generic sharded path (parallel/sharded.py) replicates the global
+vector and psums every scatter — correct, but each apply moves the whole
+vector over ICI.  The structured backend admits the idiomatic TPU
+scale-out: *sharded* global vectors and *neighbor* communication.
+
+Layout.  Global vectors are [nz*ny*nx] with z slowest; the subdomain
+batch is z-major (d = px + gx*(py + gy*pz)).  Sharding the leading z
+dimension over the mesh axis therefore splits BOTH the grid fields and
+the domain batch into contiguous z-slabs with aligned ownership:
+
+  * grid fields / vectors  [nz, ny, nx]   -> P('dz') on dim 0
+  * domain-batch arrays    [n_dom, ...]   -> P('dz') on dim 0
+  * coarse factorization   (E eigvecs)    -> replicated (the TPU
+    inversion of rank-0 offload)
+
+Collectives.  StructuredGenEO.apply is pure reshapes / static shifted
+slices / einsums / segment-sums.  Under jit with these shardings, XLA's
+SPMD partitioner inserts exactly the communication the reference codes
+by hand (VecScatter halo, src/geneo.cpp:1845-1900): the z-axis halo
+shifts lower to `CollectivePermute` neighbor hops over ICI, the coarse
+[dim_e] contributions and Krylov dot products to `AllReduce`.  No
+hand-written collective calls — the sharding annotations ARE the
+communication model (pick a mesh, annotate, let XLA insert collectives).
+
+Requires nz % n_devices == 0 and gz % n_devices == 0 (slab alignment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .geneo import StructuredGenEO
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dz") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _grid_sharding(mesh: Mesh, axis: str):
+    """[nz, ny, nx] fields and flat [n] vectors: z-slab sharded.
+
+    Flat vectors shard on dim 0 too — n = nz*ny*nx with z slowest, so a
+    P(axis) split of the flat vector IS the z-slab split when nz divides
+    the mesh size (enforced in shard_structured)."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_structured(pc: StructuredGenEO, mesh: Mesh, axis: str = "dz"):
+    """Place a set-up StructuredGenEO onto the mesh; returns
+    (matvec, apply, pc_sh) with SHARDED global-vector signatures.
+
+    matvec/apply are jit-compiled with sharding-annotated arguments; pass
+    them z-slab-sharded vectors (shard_vector) and XLA keeps every
+    intermediate sharded, exchanging only halo planes + [dim_e]/scalar
+    reductions."""
+    n_dev = mesh.shape[axis]
+    nx, ny, nz = pc.grid_shape
+    gx, gy, gz = pc.dom_grid
+    if nz % n_dev or gz % n_dev:
+        raise ValueError(
+            f"z extents (nz={nz}, gz={gz}) must divide the mesh size "
+            f"{n_dev} for slab sharding")
+
+    dom = _grid_sharding(mesh, axis)      # leading-dim shard
+    repl = NamedSharding(mesh, P())
+
+    def put(x, s):
+        return None if x is None else jax.device_put(x, s)
+
+    def put_tree(tree, s):
+        """Shard leading-dim-divisible leaves; replicate scalars (e.g.
+        the FDM shift)."""
+        def one(a):
+            ok = getattr(a, "ndim", 0) >= 1 and a.shape[0] % n_dev == 0
+            return jax.device_put(a, s if ok else repl)
+        return jax.tree_util.tree_map(one, tree)
+
+    pc_sh = dataclasses.replace(
+        pc,
+        gop=dataclasses.replace(
+            pc.gop, diag=put(pc.gop.diag, dom),
+            coeff=tuple(put(c, dom) for c in pc.gop.coeff)),
+        l1=put_tree(pc.l1, dom),
+        pou=put(pc.pou, dom), maskf=put(pc.maskf, dom),
+        z=put(pc.z, dom), colids=put(pc.colids, dom),
+        e_evecs=put(pc.e_evecs, repl), e_eig_inv=put(pc.e_eig_inv, repl),
+        x0=put(pc.x0, dom))
+
+    @partial(jax.jit, out_shardings=dom)
+    def mv(pc_a, x):
+        return pc_a.matvec(x)
+
+    @partial(jax.jit, out_shardings=dom)
+    def ap(pc_a, x):
+        return pc_a.apply(x)
+
+    shard_vec = lambda v: jax.device_put(jnp.asarray(v), dom)
+    return (lambda x: mv(pc_sh, x)), (lambda x: ap(pc_sh, x)), pc_sh, shard_vec
