@@ -71,6 +71,7 @@ def parse_args(argv: list[str]):
     pc_type = None
     check = False
     dbg_level = 0
+    dbg_fmt = "log"
     user_cmd = "geneo4petsc_tpu " + " ".join(argv)
 
     def need(i, name):
@@ -194,6 +195,9 @@ def parse_args(argv: list[str]):
             parts = need(i, a).split(",")
             if len(parts) != 2:
                 raise CLIError("Error: invalid option -geneo_dbg")
+            dbg_fmt = parts[0]
+            if dbg_fmt not in ("log", "bin", "mat"):
+                raise CLIError("Error: invalid option -geneo_dbg")
             dbg_level = int(parts[1])
         elif a == "-geneo_chk":
             i += 1; need(i, a)
@@ -211,13 +215,14 @@ def parse_args(argv: list[str]):
         raise CLIError("Error: no input")
     if drv.inp_file_a and drv.inp_lib_a:
         raise CLIError("Error: several input")
-    return drv, ksp, gen, pc_type, check, dbg_level, user_cmd
+    return drv, ksp, gen, pc_type, check, dbg_level, dbg_fmt, user_cmd
 
 
 def run(argv: list[str], out=sys.stdout) -> int:
     t_total = time.perf_counter()
     try:
-        drv, ksp, gen, pc_type, check, dbg_level, user_cmd = parse_args(argv)
+        drv, ksp, gen, pc_type, check, dbg_level, dbg_fmt, user_cmd = \
+            parse_args(argv)
     except CLIError as e:
         if str(e) == "__help__":
             print(USAGE, file=sys.stderr)
@@ -286,13 +291,21 @@ def run(argv: list[str], out=sys.stdout) -> int:
         from .utils import debug as dbg
         dbg.dump_timing(timers)
         if dbg_level >= 2:
-            dbg.dump_setup(res.pc, res.stats, decomp=decomp)
+            dbg.dump_setup(res.pc, res.stats, decomp=decomp, fmt=dbg_fmt,
+                           tau=gen.tau)
+            # representative per-apply scatter in/out dump (the reference
+            # writes XLoc around every local solve; the TPU loop is one
+            # fused program, so one eager apply on B stands in)
+            dbg.dump_apply(res.pc, b, fmt=dbg_fmt)
 
     if drv.verbose >= 1:
         print(pf.format_vec(res.x, drv.n_parts, "X").replace(
             "The vector X is:", "The solution X is:"), file=out)
 
     if drv.debug:
+        if drv.debug_bin:
+            # real PetscViewerBinary (VecLoad-compatible), --debug bin
+            pf.write_vec_bin("debug.output.X.bin", res.x)
         np.savetxt("debug.output.X.log", res.x, fmt="%.12g")
         h = np.asarray(res.result.history)
         h = h[~np.isnan(h)]
@@ -338,6 +351,10 @@ def _debug_driver_files(ap, b, drv):
             f.write(pf.format_mat_matlab(ap.a_csr.toarray(), "A"))
         with open("debug.input.B.mat", "w") as f:
             f.write(pf.format_vec_matlab(b, "B"))
+    if drv.debug_bin:
+        # real PetscViewerBinary (MatLoad/VecLoad-compatible), --debug bin
+        pf.write_mat_bin("debug.input.A.bin", ap.a_csr)
+        pf.write_vec_bin("debug.input.B.bin", b)
     np.savetxt("debug.input.B.log", b, fmt="%.12g")
 
 

@@ -117,3 +117,61 @@ def test_eigensolver_residual_wrng_and_check(tmp_path, monkeypatch):
     rc2 = cli.run(args + ["-geneo_chk", "log"], out=buf2)
     assert rc2 != 0
     assert any(f.endswith(".eps.failure.log") for f in os.listdir("."))
+
+
+def test_debug_bin_petsc_binary_roundtrip(tmp_path, monkeypatch):
+    """--debug bin writes REAL PetscViewerBinary files (VecLoad/MatLoad
+    format: big-endian classids 1211214/1211216) that round-trip."""
+    from geneo4petsc_tpu.utils import petsc_format as pf
+
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    rc = cli.run(["--inpLibA", "laplacian", "--inpLibArg",
+                  "--size#6#--dim#2", "--nbPart", "2",
+                  "-pc_type", "geneo", "-geneo_lvl", "ASM,1",
+                  "--debug", "bin", "--shortRes"], out=buf)
+    assert rc == 0
+    x = pf.read_vec_bin("debug.output.X.bin")
+    b = pf.read_vec_bin("debug.input.B.bin")
+    a = pf.read_mat_bin("debug.input.A.bin")
+    r = np.linalg.norm(a @ x - b) / np.linalg.norm(b)
+    assert r < 1e-4
+    # text and binary dumps agree
+    xt = np.loadtxt("debug.output.X.log")
+    np.testing.assert_allclose(x, xt, rtol=1e-10)
+
+
+def test_geneo_dbg_sylvester_and_apply_dumps(tmp_path, monkeypatch):
+    """-geneo_dbg log,2 writes the sylvester matrix + inertia and the
+    per-apply scatter in/out taxonomy (geneo.cpp:2501-2506 naming)."""
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    rc = cli.run(["--inpLibA", "laplacian", "--inpLibArg",
+                  "--size#6#--dim#2", "--nbPart", "3",
+                  "-pc_type", "geneo", "-geneo_lvl", "RAS,1",
+                  "-geneo_dbg", "log,2", "--shortRes"], out=buf)
+    assert rc == 0
+    assert os.path.exists("debug0.setup.sylvester.tau.log")
+    s = np.loadtxt("debug0.setup.sylvester.tau.log")
+    assert s.ndim == 2 and s.shape[0] == s.shape[1]
+    txt = open("debug0.setup.sylvester.inertia.log").read()
+    assert "inertia:" in txt and "eigen values < tau" in txt
+    assert os.path.exists("debug0.apply001.scatter.in.log")
+    assert os.path.exists("debug.apply001.scatter.out.log")
+
+
+def test_geneo_dbg_bin_matrices(tmp_path, monkeypatch):
+    """-geneo_dbg bin,2: per-domain setup matrices in PetscViewerBinary."""
+    from geneo4petsc_tpu.utils import petsc_format as pf
+
+    monkeypatch.chdir(tmp_path)
+    buf = io.StringIO()
+    rc = cli.run(["--inpLibA", "laplacian", "--inpLibArg",
+                  "--size#6#--dim#2", "--nbPart", "2",
+                  "-pc_type", "geneo", "-geneo_lvl", "ASM,1",
+                  "-geneo_dbg", "bin,2", "--shortRes"], out=buf)
+    assert rc == 0
+    a = pf.read_mat_bin("debug0.setup.ANeu.bin").toarray()
+    assert a.shape[0] == a.shape[1] and a.shape[0] > 0
+    # symmetric Neumann block
+    np.testing.assert_allclose(a, a.T, atol=1e-12)

@@ -1,0 +1,106 @@
+"""Per-apply cost of the two multi-device models on the virtual CPU mesh.
+
+VERDICT r1 item 10: measure replicated-vector psum (generic path) vs the
+sharded-vector CollectivePermute halo (structured path) at 1 and 8 shards
+and record ms/apply — the scaling-story pick for real multi-chip.
+
+CPU-mesh numbers measure COMMUNICATION STRUCTURE (collective counts and
+data volumes lower to memcpys), not ICI bandwidth; the structured path's
+advantage is that its per-shard touched bytes SHRINK with the shard
+count while the replicated path's stay constant.
+
+Usage: python tst/measure_sharded.py [size] (default 32)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+from geneo4petsc_tpu.config import GenEOOptions
+
+
+def timeit(fn, x, n=20):
+    r = fn(x)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn(x)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def measure_generic(size, n_dom, shards):
+    from geneo4petsc_tpu.assembly.assemble import assemble
+    from geneo4petsc_tpu.models import laplacian
+    from geneo4petsc_tpu.parallel.sharded import make_mesh, shard_geneo
+    from geneo4petsc_tpu.partition.decompose import partition_and_decompose
+    from geneo4petsc_tpu.precond.geneo import setup_geneo
+
+    mesh_m = laplacian.get_input(f"--size {size} --dim 2 --kappa 100. minmax")
+    decomp = partition_and_decompose(mesh_m, n_dom, add_overlap=1)
+    ap = assemble(mesh_m, decomp, dtype=jnp.float32)
+    opts = GenEOOptions()
+    opts.lvl1, opts.lvl2 = "RAS", "1"
+    pc, _ = setup_geneo(ap.batch, opts, decomp=decomp)
+    b = jnp.asarray(np.asarray(ap.a_csr @ np.arange(1.0, mesh_m.n_nodes + 1)),
+                    jnp.float32)
+    rows = []
+    for n_dev in shards:
+        mesh = make_mesh(n_dev)
+        mv, pa, _ = shard_geneo(pc, mesh)
+        rows.append((n_dev, timeit(mv, b), timeit(pa, b)))
+    return mesh_m.n_nodes, rows
+
+
+def measure_structured(size, gz, shards):
+    from geneo4petsc_tpu.structured.decompose import StructuredDecomposition
+    from geneo4petsc_tpu.structured.geneo import setup_structured
+    from geneo4petsc_tpu.structured.grid import laplacian_grid
+    from geneo4petsc_tpu.structured.sharded import (make_mesh,
+                                                    shard_structured)
+
+    grid = laplacian_grid(size, dim=3, kappa_max=100.0, interp="minmax")
+    sd = StructuredDecomposition(grid, (2, 2, gz), 1)
+    opts = GenEOOptions()
+    opts.lvl1, opts.lvl2 = "RAS", "1"
+    pc, _ = setup_structured(sd, opts, dtype=jnp.float32)
+    _xt, b = grid.manufactured_rhs()
+    b32 = np.asarray(b, np.float32)
+    rows = []
+    for n_dev in shards:
+        mesh = make_mesh(n_dev)
+        mv, ap, _pc_sh, shard_vec = shard_structured(pc, mesh)
+        bs = shard_vec(b32)
+        rows.append((n_dev, timeit(mv, bs), timeit(ap, bs)))
+    return grid.n_nodes, rows
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n1, gen = measure_generic(size * 4, 64, [1, 8])
+    n2, st = measure_structured(size, 8, [1, 8])
+    print(f"generic (2D {n1} DOF, 64 domains, replicated + psum):")
+    for n_dev, mv, ap in gen:
+        print(f"  shards={n_dev}: matvec {mv:7.2f} ms  pc-apply {ap:7.2f} ms")
+    print(f"structured (3D {n2} DOF, 32 domains, z-slab + collective-permute):")
+    for n_dev, mv, ap in st:
+        print(f"  shards={n_dev}: matvec {mv:7.2f} ms  pc-apply {ap:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
