@@ -106,6 +106,8 @@ def parse_args(argv: list[str]):
             i += 1; drv.add_overlap = int(need(i, a))
         elif a == "--nbPart":
             i += 1; drv.n_parts = int(need(i, a))
+        elif a == "--structured":
+            i += 1; drv.structured = need(i, a)
         elif a == "--debug":
             drv.debug = True
             i += 1
@@ -230,6 +232,9 @@ def run(argv: list[str], out=sys.stdout) -> int:
         print(str(e), file=sys.stderr)
         print(USAGE, file=sys.stderr)
         return 1
+
+    if drv.structured:
+        return _run_structured(drv, ksp, gen, pc_type, out, t_total)
 
     from .assembly.assemble import assemble
     from .partition.decompose import partition_and_decompose
@@ -356,6 +361,101 @@ def _debug_driver_files(ap, b, drv):
         pf.write_mat_bin("debug.input.A.bin", ap.a_csr)
         pf.write_vec_bin("debug.input.B.bin", b)
     np.savetxt("debug.input.B.log", b, fmt="%.12g")
+
+
+def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
+    """--structured GX,GY,GZ: drive the FDM/stencil scale backend
+    (structured/) through the CLI with the standard INFO/TIME protocol.
+
+    Only the laplacian generator produces the separable tensor-grid
+    coefficient field the backend needs; other inputs take the generic
+    path."""
+    import time as _time
+
+    from .models import _grid
+    from .structured.grid import laplacian_grid
+    from .structured.solve import solve_structured
+
+    if pc_type != "geneo" or drv.inp_lib_a != "laplacian":
+        print("Error: --structured requires --inpLibA laplacian and "
+              "-pc_type geneo", file=sys.stderr)
+        return 1
+    try:
+        dom_grid = tuple(int(t) for t in drv.structured.split(","))
+        assert len(dom_grid) == 3
+    except (ValueError, AssertionError):
+        print("Error: invalid option --structured (want GX,GY,GZ)",
+              file=sys.stderr)
+        return 1
+
+    opt = _grid.parse_args(drv.inp_lib_arg.replace("#", " "), {
+        "size": int, "weakScaling": int, "dim": int, "inpEps": float,
+        "kappa": tuple, "verbose": bool, "debug": bool,
+    })
+    kappa_max, interp = opt.get("kappa", (1.0, ""))
+    grid = laplacian_grid(opt.get("size", 4), dim=opt.get("dim", 3),
+                          kappa_max=kappa_max, interp=interp,
+                          inp_eps=opt.get("inpEps", drv.inp_eps),
+                          weak_scaling=opt.get("weakScaling", 1))
+    overlap = max(drv.add_overlap, 1)
+    timers = Timers()
+    res = solve_structured(grid, dom_grid, overlap, geneo=gen, ksp=ksp,
+                           tol=ksp.rtol, timers=timers)
+
+    nx, ny, nz = grid.shape
+    n_edges = sum((grid.shape[a] - 1)
+                  * (grid.n_nodes // max(grid.shape[a], 1))
+                  for a in range(grid.dim))
+    n_bc = grid.n_nodes // grid.shape[grid.dim - 1]
+    mode = f"structured {dom_grid[0]}x{dom_grid[1]}x{dom_grid[2]}"
+    print(f"INFO: nb DOFs {grid.n_nodes}, nb elements {n_edges + n_bc}, "
+          f"nnz coefs {grid.n_nodes + 2 * n_edges}, "
+          f"nb partitions {res.n_dom}, overlap {overlap}, {mode}",
+          file=out)
+    print(f"INFO: {ksp.type} ksp, eps rel {ksp.rtol:.1e}, "
+          f"eps abs {ksp.atol:.1e}, max iterations {ksp.max_it}", file=out)
+    line = f"INFO: {gen.name} pc, L1 fdm"
+    if gen.lvl2_num:
+        line += (f", tau {gen.tau:.2f}, L2 "
+                 f"{gen.els2.type} fdm-shift-invert")
+    print(line, file=out)
+    if not drv.short_res:
+        st = res.stats
+        print(f"INFO: setup - estim dimE {st.estim_dim_e.sum()} (local: "
+              f"min {st.estim_dim_e.min()}, max {st.estim_dim_e.max()}), "
+              f", real dimE {st.real_dim_e.sum()} (local: "
+              f"min {st.real_dim_e.min()}, max {st.real_dim_e.max()})"
+              f", nicolaides {st.nicolaides.sum()}", file=out)
+    status = "converged" if res.converged else "diverged"
+    if drv.short_res:
+        print(f"INFO: solve - {status}", file=out)
+    else:
+        print(f"INFO: solve - {status} (refined, "
+              f"{res.refined.outer_its} outer), "
+              f"{res.refined.inner_its} iteration(s), "
+              f"|| AX - B || / || B || {res.true_res:.10f}", file=out)
+    if drv.verbose >= 1:
+        x = np.asarray(res.x, np.float64)
+        print(pf.format_vec(x, res.n_dom, "X").replace(
+            "The vector X is:", "The solution X is:"), file=out)
+    if drv.timing:
+        t = timers.get
+        print("", file=out)
+        print(f"TIME: read input 0.00000 s, part / decomp "
+              f"{t('partition'):.5f} s, create A {t('createA'):.5f} s, "
+              f"solver set up {t('setup'):.5f} s, solver iterations "
+              f"{t('solve'):.5f} s, solve "
+              f"{t('setup') + t('solve'):.5f} s", file=out)
+        print(f"      L1       setup: Minv {t('l1_minv'):.5f} s", file=out)
+        if gen.lvl2_num:
+            print(f"      L2       setup: eigen solve {t('l2_eig'):.5f} s"
+                  f", Z {t('l2_z'):.5f} s, E {t('l2_e'):.5f} s", file=out)
+        print(f"TIME: total {_time.perf_counter() - t_total:.5f} s",
+              file=out)
+    if drv.cmd_line:
+        print("", file=out)
+        print(f"CMD: geneo4petsc_tpu {' '.join(sys.argv[1:])}", file=out)
+    return 0 if res.converged else 0
 
 
 def _print_info(res, drv, ksp, gen, pc_type, out):

@@ -164,3 +164,7 @@ class DriverOptions:
     short_res: bool = False
     cmd_line: bool = False
     n_parts: int = 2  # "mpirun -n" equivalent: number of subdomains
+    # "GX,GY,GZ": route the solve through the structured FDM/stencil
+    # backend (box decomposition of the generator's tensor grid) — the
+    # 10M+ DOF scale path; laplacian generator only
+    structured: str = ""

@@ -140,3 +140,38 @@ def test_checks_pass():
                     "--shortRes"])
     assert rc == 0
     assert "converged" in out
+
+
+def test_structured_cli_path():
+    """--structured GX,GY,GZ drives the FDM/stencil scale backend through
+    the standard CLI protocol."""
+    import io
+
+    from geneo4petsc_tpu import cli
+
+    buf = io.StringIO()
+    rc = cli.run(["--inpLibA", "laplacian", "--inpLibArg",
+                  "--size#12#--dim#3#--kappa#1000.#minmax",
+                  "--structured", "2,2,2", "--addOverlap", "1",
+                  "-pc_type", "geneo", "-geneo_lvl", "ASM,E1",
+                  "-els2_type", "lobpcg", "-geneo_cut", "2",
+                  "-ksp_type", "cg", "-ksp_rtol", "1e-8", "--timing"],
+                 out=buf)
+    txt = buf.getvalue()
+    assert rc == 0
+    assert "nb DOFs 1728" in txt
+    assert "structured 2x2x2" in txt
+    assert "converged" in txt
+    assert "TIME: total" in txt
+
+
+def test_structured_cli_rejects_nonseparable_inputs():
+    import io
+
+    from geneo4petsc_tpu import cli
+
+    buf = io.StringIO()
+    rc = cli.run(["--inpLibA", "graph", "--inpLibArg", "--size#4",
+                  "--structured", "2,2,2", "-pc_type", "geneo",
+                  "-geneo_lvl", "ASM,1"], out=buf)
+    assert rc == 1
