@@ -22,12 +22,16 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 
 def timeit(fn, *args, n=50):
-    r = fn(*args)
-    jax.block_until_ready(r)
+    """Chain the output into the last input: the serial dependency forces
+    real per-call execution (independent identical calls measured an
+    impossible 16 TB/s on the tunneled platform)."""
+    head, x = args[:-1], args[-1]
+    x = fn(*head, x)
+    float(jnp.sum(x))          # full sync: a VALUE pull, not just an ack
     t0 = time.perf_counter()
     for _ in range(n):
-        r = fn(*args)
-    jax.block_until_ready(r)
+        x = fn(*head, x)
+    float(jnp.sum(x))
     return (time.perf_counter() - t0) / n * 1e3
 
 
