@@ -103,7 +103,8 @@ def sharded_matvec(batch: SubdomainBatch, mesh: Mesh, axis: str = "dom"):
         b_loc = dataclasses.replace(b_loc, axis=axis)
         return b_loc.matvec(x)
 
-    return lambda x: mv(batch, x)
+    mv_jit = jax.jit(mv)
+    return lambda x: mv_jit(batch, x)
 
 
 def shard_geneo(pc: GenEOPreconditioner, mesh: Mesh, axis: str = "dom"):
@@ -169,4 +170,9 @@ def shard_geneo(pc: GenEOPreconditioner, mesh: Mesh, axis: str = "dom"):
     def mv_fn(pc_loc, x):
         return _localize(pc_loc).batch.matvec(x)
 
-    return (lambda x: mv_fn(pc_sh, x)), (lambda x: apply_fn(pc_sh, x)), pc_sh
+    # jit with the preconditioner pytree as a traced ARGUMENT (not a
+    # closure constant): large operator pytrees must never be baked into
+    # the jaxpr (compile-service payload blow-up at scale).
+    apply_jit = jax.jit(apply_fn)
+    mv_jit = jax.jit(mv_fn)
+    return (lambda x: mv_jit(pc_sh, x)), (lambda x: apply_jit(pc_sh, x)), pc_sh
