@@ -370,7 +370,8 @@ def prune_dependent_columns(e: np.ndarray, dtype) -> np.ndarray | None:
     return np.sort(piv[:rank] - 1).astype(np.int64)
 
 
-def factor_e(e: np.ndarray, dtype) -> tuple[np.ndarray, np.ndarray, int]:
+def factor_e(e: np.ndarray, dtype,
+             e_dtype=None) -> tuple[np.ndarray, np.ndarray, int]:
     """Factor the coarse operator E (host LAPACK).
 
     Returns (W, ew, e_null) with E^-1 applied as W diag(1/ew) W^T.
@@ -380,7 +381,16 @@ def factor_e(e: np.ndarray, dtype) -> tuple[np.ndarray, np.ndarray, int]:
     cost (LAPACK dpotrf+dtrtri is ~7x cheaper than dsyevd at dim_e~8k).
     The spectral pseudo-inverse stays as the fallback for (near-)singular
     E — the MUMPS null-pivot-fix analogue (geneo.cpp ICNTL(24)/CNTL(5));
-    e_null counts the truncated modes."""
+    e_null counts the truncated modes.
+
+    Two precisions: `dtype` (device apply precision) gates the fast
+    Cholesky-inverse path — only safe when E is well-conditioned in the
+    precision the factors will be applied in; `e_dtype` (the precision E
+    was ASSEMBLED in, default = dtype) sets the spectral truncation
+    floor — modes above E's own entry-noise level are real GenEO modes
+    and must be inverted, not truncated."""
+    if e_dtype is None:
+        e_dtype = dtype
     dim_e = e.shape[0]
     if dim_e > 0:
         try:
@@ -397,7 +407,7 @@ def factor_e(e: np.ndarray, dtype) -> tuple[np.ndarray, np.ndarray, int]:
             pass
     ew_np, ev_np = bl.host_eigh(e)
     ew_np = np.asarray(ew_np)
-    tol = dim_e * np.finfo(dtype).eps * np.abs(ew_np).max(initial=0.0)
+    tol = dim_e * np.finfo(e_dtype).eps * np.abs(ew_np).max(initial=0.0)
     e_null = int((ew_np <= tol).sum())
     ew_np = np.where(ew_np > tol, ew_np, np.inf)  # truncated modes
     return np.asarray(ev_np), ew_np, e_null
@@ -908,7 +918,10 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
     e = np.asarray((zg_sp.T @ (a_sp @ zg_sp)).todense())
     e = 0.5 * (e + e.T)
     _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
-    keep = prune_dependent_columns(e, dtype)
+    # E is assembled in f64 host arithmetic regardless of the device
+    # dtype, so rank detection/truncation use the f64 noise floor — an
+    # eps(f32) threshold would prune real (tiny-eigenvalue) GenEO modes
+    keep = prune_dependent_columns(e, np.float64)
     if keep is not None:
         # prune the dependent coarse columns so E is SPD and the PC is
         # nonsingular (vs MUMPS null-pivot fixing, geneo.cpp:76-92)
@@ -938,7 +951,7 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
         colids = jnp.asarray(colids_np)
         _vlog(f"pruned {stats.e_pruned} dependent coarse columns "
               f"(dim_e={dim_e})")
-    ev_np, ew_np, stats.e_null = factor_e(e, dtype)
+    ev_np, ew_np, stats.e_null = factor_e(e, dtype, e_dtype=np.float64)
     # round-trip through host numpy so the factors land on the default
     # (accelerator) device uncommitted
     ev = jnp.asarray(np.asarray(ev_np), dtype)

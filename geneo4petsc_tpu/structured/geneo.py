@@ -489,20 +489,30 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     _t = _mark("l2_z", _t)
     _vlog("Z built")
 
-    # E = Z^T A Z: dilated-stencil apply + window contractions
-    dirs_dil = lo.dirichlet_stencil(f_dil)
+    # E = Z^T A Z: dilated-stencil apply + window contractions.
+    # Assembled in f64 whenever x64 is on: Z's columns are near-null
+    # vectors of A, so the contraction cancels eps(f32)*||A||-level terms
+    # and an f32-assembled E is noise at its own (tiny) scale — the rank
+    # detection below then over-prunes load-bearing GenEO modes (observed:
+    # 52/64 columns wrongly pruned at 32^3 where the f64 E is full rank).
+    # One-shot cost: a single emulated-f64 stencil apply on k_max columns.
+    e_dtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    f_e = f_dil if f_dil.kappa.dtype == e_dtype else dataclasses.replace(
+        f_dil, kappa=f_dil.kappa.astype(e_dtype),
+        diag=f_dil.diag.astype(e_dtype))
+    dirs_dil = lo.dirichlet_stencil(f_e)
     pad_width = [(0, 0)] + [(1, 1) if p else (0, 0)
                             for p in (sd.pad[2], sd.pad[1], sd.pad[0])] \
         + [(0, 0)]
-    z_dil = jnp.pad(z, pad_width)
+    z_dil = jnp.pad(z.astype(e_dtype), pad_width)
     y_dil = dirs_dil.matvec(z_dil)
     # zero the pad rows of the dilated apply (identity pad rows of the
     # stencil would otherwise inject the zero-padded z — already zero, but
     # the mask keeps out-of-grid halo reads inert)
-    y_dil = y_dil * f_dil.mask[..., None].astype(dtype)
-    e = _coarse_e(sd, z, y_dil, counts)
+    y_dil = y_dil * f_dil.mask[..., None].astype(e_dtype)
+    e = _coarse_e(sd, z.astype(e_dtype), y_dil, counts)
     _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
-    keep = prune_dependent_columns(e, dtype)
+    keep = prune_dependent_columns(e, e_dtype)
     if keep is not None:
         # prune dependent coarse columns (see the generic path): E becomes
         # SPD, dim_e shrinks by exactly the dependency count
@@ -534,7 +544,7 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
         colids = jnp.asarray(colids_np)
         _vlog(f"pruned {stats.e_pruned} dependent coarse columns "
               f"(dim_e={dim_e})")
-    ev_np, ew_np, stats.e_null = factor_e(e, dtype)
+    ev_np, ew_np, stats.e_null = factor_e(e, dtype, e_dtype=e_dtype)
     e_evecs = jnp.asarray(ev_np, dtype)
     e_eig_inv = jnp.asarray(1.0 / ew_np, dtype)
     _t = _mark("l2_e", _t)

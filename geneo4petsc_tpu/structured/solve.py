@@ -64,6 +64,10 @@ def make_structured_inner(pc: StructuredGenEO, inner_max_it: int = 2000,
 
     @jax.jit
     def inner(pc_a, r32, rtol):
+        # the refinement loop hands over f32 residuals; run the Krylov
+        # iteration in the preconditioner's own dtype (an f64 pc would
+        # otherwise promote the while_loop carry mid-iteration)
+        r32 = r32.astype(pc_a.pou.dtype)
         x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
         return solver(pc_a.matvec, r32, pc_a.apply, x0=x0,
                       rtol=rtol, max_it=inner_max_it, **extra)

@@ -7,7 +7,10 @@ battery.
             converged, the exact log count, and diffs the plot tool's
             deterministic output against tst/golden/<wl>Plot.ref
 
-Usage: python tst/check.py [dummy|laplacian|heat|graph|all] [--update]
+3. iters:   iteration-count/dimE/nicolaides pins over the full 21-config
+            PC matrix (tst/iters.py; self-referential goldens)
+
+Usage: python tst/check.py [dummy|laplacian|heat|graph|iters|all] [--update]
 """
 
 from __future__ import annotations
@@ -87,6 +90,11 @@ def main() -> int:
     for wl in ("laplacian", "heat", "graph"):
         if what in (wl, "all"):
             rc |= run_workload(wl, update, full=full)
+    if what in ("iters", "all"):
+        cmd = [sys.executable, os.path.join(HERE, "iters.py")]
+        if update:
+            cmd.append("--update")
+        rc |= subprocess.run(cmd).returncode
     print("OK" if rc == 0 else "FAILED")
     return rc
 
