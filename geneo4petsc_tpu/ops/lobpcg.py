@@ -82,7 +82,8 @@ def _whiten(s, bs):
             proj)
 
 
-def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40):
+def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
+                   tol: float = 0.0):
     """Matrix-free batched LOBPCG: smallest eigenpairs of the pencil
     (A, B) given only batched block matvec callables.
 
@@ -97,6 +98,13 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40):
     structured/FDM backend where n_loc is 10^5+ and a dense [d, n, n]
     pencil is impossible.  Returns (w [d, k] ascending, v [d, n, k],
     res [d, k] relative residuals).  Callers jit.
+
+    tol > 0 switches the fixed-length scan to a while_loop that exits as
+    soon as every (domain, column) relative residual is below tol — the
+    SLEPc EPS tolerance semantics (the reference runs ARPACK at tol 1e-3,
+    "good enough" vectors, geneo.cpp:658); with the exact FDM shifted
+    inverse as preconditioner convergence is typically far faster than
+    the max_it cap, so the exit saves most of the eigensolve wall.
     """
     k = x0.shape[-1]
     dtype = x0.dtype
@@ -120,13 +128,16 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40):
         theta, c = jnp.linalg.eigh(h)
         return s, theta.astype(dtype), c.astype(dtype)
 
-    def body(carry, _):
-        x, p = carry
+    def step(x, p):
         bx = b_op(x)
         x, bx, _ = _whiten(x, bx)
         ax = a_op(x)
         lam = jnp.einsum("dnm,dnm->dm", x, ax)
         r = ax - bx * lam[:, None, :]
+        # relative residual of the CURRENT block (free: r is needed anyway)
+        scale = jnp.linalg.norm(ax, axis=1) + jnp.abs(lam) * \
+            jnp.linalg.norm(bx, axis=1) + jnp.finfo(dtype).tiny
+        res = jnp.max(jnp.linalg.norm(r, axis=1) / scale)
         w = t_op(r)
         s = jnp.concatenate([x, w, p], axis=-1)
         bs = b_op(s)
@@ -139,10 +150,30 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40):
         p_new = jnp.einsum("dnm,dmk->dnk", s_t, c_wp,
                            preferred_element_type=dtype,
                            precision="highest")
-        return (x_new, p_new), None
+        return x_new, p_new, res
 
-    (x, _p), _ = jax.lax.scan(body, (x0, jnp.zeros_like(x0)), None,
-                              length=max_it)
+    if tol > 0.0:
+        def cond(carry):
+            _x, _p, it, res = carry
+            return (it < max_it) & (res > tol)
+
+        def body_w(carry):
+            x, p, it, _res = carry
+            x_new, p_new, res = step(x, p)
+            return (x_new, p_new, it + 1, res)
+
+        (x, _p, _it, _res) = jax.lax.while_loop(
+            cond, body_w,
+            (x0, jnp.zeros_like(x0), jnp.int32(0),
+             jnp.asarray(jnp.inf, dtype)))
+    else:
+        def body(carry, _):
+            x, p = carry
+            x_new, p_new, _res = step(x, p)
+            return (x_new, p_new), None
+
+        (x, _p), _ = jax.lax.scan(body, (x0, jnp.zeros_like(x0)), None,
+                                  length=max_it)
 
     bx = b_op(x)
     x, bx, _ = _whiten(x, bx)

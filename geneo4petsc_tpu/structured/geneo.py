@@ -353,7 +353,8 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
                                dtype)
         x0 = x0 * maskf_.reshape(d, n_loc)[..., None]
         x0 = t_o(x0)
-        return matfree_lobpcg(a_o, b_o, t_o, x0, max_it=max_it)
+        return matfree_lobpcg(a_o, b_o, t_o, x0, max_it=max_it,
+                              tol=float(opts.els2.rtol))
 
     # LOBPCG live set ~ 16 k-column [chunk, n_loc] panels; chunk the
     # domain batch to a device-memory budget (one compiled executable per
