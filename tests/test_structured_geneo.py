@@ -193,3 +193,23 @@ def test_device_refine_matches_host_refine():
     assert np.allclose(np.asarray(dev.x, np.float64),
                        np.asarray(host.x, np.float64), rtol=1e-5, atol=1e-4)
     del jnp
+
+
+def test_f32_e_assembly_no_false_pruning():
+    """E must be assembled in f64 (when x64 is on) even for an f32 PC.
+
+    Z's columns are near-null vectors of A, so the Z^T A Z contraction
+    cancels eps(f32)*||A||-scale terms; an f32-assembled E is noise at
+    its own scale and the rank detection pruned REAL coarse columns
+    (52/64 at this exact configuration before the fix, where the f64 E
+    is numerically full rank)."""
+    grid = laplacian_grid(32, dim=3, kappa_max=10000.0, interp="minmax")
+    sd = StructuredDecomposition(grid, (4, 4, 4), 2)
+    pc32, st32 = sg.setup_structured(sd, _opts("ASM,E1"),
+                                     dtype=jnp.float32)
+    assert st32.e_pruned == 0
+    assert int(st32.real_dim_e.sum()) == int(st32.raw_dim_e.sum()) == 64
+    # and the f32 coarse space matches the f64 one in size
+    pc64, st64 = sg.setup_structured(sd, _opts("ASM,E1"),
+                                     dtype=jnp.float64)
+    assert int(st64.real_dim_e.sum()) == int(st32.real_dim_e.sum())
