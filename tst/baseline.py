@@ -1,8 +1,12 @@
 """BASELINE.json config runner: exercises the five pinned configurations
 (BASELINE.md) and records our iteration counts / dims / timings as JSON.
 
-Config #5 runs at a reduced DOF count scaled to this host (the 10M-DOF
-v5p-8 target needs the sparse-local-operator path; see doc/WIKI.md).
+Config #5 here is a CPU-scale elasticity stand-in exercising the same
+PC family on vector-valued DOFs; the FULL-SCALE config #5 — a true
+10,077,696-DOF (216^3) 3D SPD system, 64 subdomains, overlap 2, batched
+local eigensolves, deflated PCG to true 1e-8 — is the headline bench on
+the structured backend: `python bench.py` (runs on the real TPU chip at
+~22 s/MDOF; see ROUND2_NOTES.md).
 
 Usage: python tst/baseline.py [--out baseline_results.json]
 """
