@@ -372,6 +372,17 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
     path."""
     import time as _time
 
+    import jax as _jax
+
+    if not _jax.config.jax_enable_x64:
+        # the scale backend needs x64 for the f64 coarse-operator
+        # assembly (noise-free E; see structured/geneo.py) and the
+        # device-resident f64 refinement (no 80 MB host pulls per outer
+        # pass on tunneled platforms).  Every hot-path dtype is an
+        # explicit f32, so the MXU path is unaffected (bench.py does the
+        # same).
+        _jax.config.update("jax_enable_x64", True)
+
     from .models import _grid
     from .structured.grid import laplacian_grid
     from .structured.solve import solve_structured
