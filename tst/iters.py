@@ -56,35 +56,43 @@ def run_matrix() -> dict:
             for pc in pcs:
                 lvl2 = any(x in pc for x in (",1", ",2", "H1", "H2",
                                              "E1", "E2"))
-                name = f"{wl}-np=2-pc={pc_log_name(pc)}-metis={m_log}"
-                if "addOverlap" in pc:
-                    name += "-overlap1"
-                if "offload" in pc:
-                    name += "-offload"
-                args = ["--inpLibA", wl, "--inpLibArg", gen_args,
-                        "--nbPart", "2", metis,
-                        "-ksp_rtol", "1.e-05", "-ksp_atol", "1.e-05",
-                        "-ksp_max_it", "1000",
-                        "-ksp_gmres_restart", "1000"]
-                args += pc.replace("##", "#").strip("#").split("#")
-                if lvl2:
-                    args += ["-geneo_tau", "0.1", "-geneo_gamma", "8."]
-                if "SORAS" in pc:
-                    args += ["-geneo_optim", "0.00"]
-                buf = io.StringIO()
-                rc = cli.run(args, out=buf)
-                log = buf.getvalue()
-                m = _RE_SOLVE.search(log)
-                if rc != 0 or m is None or m.group(1) != "converged":
-                    print(f"ERROR: {name} did not converge:\n{log}",
-                          file=sys.stderr)
-                    raise SystemExit(1)
-                rec = {"its": int(m.group(2))}
-                md = _RE_DIME.search(log)
-                if md is not None:
-                    rec["dim_e"] = int(md.group(1))
-                    rec["nicolaides"] = int(md.group(2))
-                results[name] = rec
+                # the reference's sweep runs both tau/gamma variants for
+                # level-2 PCs (laplacianRun.sh matrix)
+                variants = ([("0.1", "8."), ("0.2", "12.")] if lvl2
+                            else [None])
+                for tg in variants:
+                    name = f"{wl}-np=2-pc={pc_log_name(pc)}-metis={m_log}"
+                    if tg is not None and tg != ("0.1", "8."):
+                        name += f"-tau={tg[0]}-gamma={tg[1]}"
+                    if "addOverlap" in pc:
+                        name += "-overlap1"
+                    if "offload" in pc:
+                        name += "-offload"
+                    args = ["--inpLibA", wl, "--inpLibArg", gen_args,
+                            "--nbPart", "2", metis,
+                            "-ksp_rtol", "1.e-05", "-ksp_atol", "1.e-05",
+                            "-ksp_max_it", "1000",
+                            "-ksp_gmres_restart", "1000"]
+                    args += pc.replace("##", "#").strip("#").split("#")
+                    if tg is not None:
+                        args += ["-geneo_tau", tg[0],
+                                 "-geneo_gamma", tg[1]]
+                    if "SORAS" in pc:
+                        args += ["-geneo_optim", "0.00"]
+                    buf = io.StringIO()
+                    rc = cli.run(args, out=buf)
+                    log = buf.getvalue()
+                    m = _RE_SOLVE.search(log)
+                    if rc != 0 or m is None or m.group(1) != "converged":
+                        print(f"ERROR: {name} did not converge:\n{log}",
+                              file=sys.stderr)
+                        raise SystemExit(1)
+                    rec = {"its": int(m.group(2))}
+                    md = _RE_DIME.search(log)
+                    if md is not None:
+                        rec["dim_e"] = int(md.group(1))
+                        rec["nicolaides"] = int(md.group(2))
+                    results[name] = rec
     return results
 
 
