@@ -126,6 +126,12 @@ def parse_args(argv: list[str]):
             i += 1; pc_type = need(i, a)
             if pc_type == "geneo":
                 drv.use_mat_mpi = False
+        elif a == "-pc_mg_cycle_type":
+            i += 1; drv.mg_cycle_type = need(i, a)
+        elif a == "-pc_mg_smoothdown":
+            i += 1; drv.mg_smooth_down = int(need(i, a))
+        elif a == "-pc_mg_smoothup":
+            i += 1; drv.mg_smooth_up = int(need(i, a))
         elif a == "-ksp_type":
             i += 1; ksp.type = need(i, a)
         elif a == "-ksp_rtol":
@@ -364,12 +370,13 @@ def _debug_driver_files(ap, b, drv):
 
 
 def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
-    """--structured GX,GY,GZ: drive the FDM/stencil scale backend
+    """--structured GX,GY,GZ: drive the structured scale backend
     (structured/) through the CLI with the standard INFO/TIME protocol.
 
-    Only the laplacian generator produces the separable tensor-grid
-    coefficient field the backend needs; other inputs take the generic
-    path."""
+    Tensor-grid generators are supported: laplacian (separable kappa ->
+    exact FDM local solves) and heat (mass term -> general block-tridiag /
+    inexact solvers, structured/solvers.py).  The graph workload is not a
+    tensor grid and takes the generic path."""
     import time as _time
 
     import jax as _jax
@@ -384,11 +391,11 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
         _jax.config.update("jax_enable_x64", True)
 
     from .models import _grid
-    from .structured.grid import laplacian_grid
+    from .structured.grid import heat_grid, laplacian_grid
     from .structured.solve import solve_structured
 
-    if pc_type != "geneo" or drv.inp_lib_a != "laplacian":
-        print("Error: --structured requires --inpLibA laplacian and "
+    if pc_type != "geneo" or drv.inp_lib_a not in ("laplacian", "heat"):
+        print("Error: --structured requires --inpLibA laplacian|heat and "
               "-pc_type geneo", file=sys.stderr)
         return 1
     try:
@@ -401,13 +408,21 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
 
     opt = _grid.parse_args(drv.inp_lib_arg.replace("#", " "), {
         "size": int, "weakScaling": int, "dim": int, "inpEps": float,
-        "kappa": tuple, "verbose": bool, "debug": bool,
+        "kappa": tuple, "lbd": float, "dt": float,
+        "verbose": bool, "debug": bool,
     })
     kappa_max, interp = opt.get("kappa", (1.0, ""))
-    grid = laplacian_grid(opt.get("size", 4), dim=opt.get("dim", 3),
-                          kappa_max=kappa_max, interp=interp,
-                          inp_eps=opt.get("inpEps", drv.inp_eps),
-                          weak_scaling=opt.get("weakScaling", 1))
+    if drv.inp_lib_a == "heat":
+        grid = heat_grid(opt.get("size", 4), dim=opt.get("dim", 3),
+                         kappa_max=kappa_max, interp=interp,
+                         inp_eps=opt.get("inpEps", drv.inp_eps),
+                         lbd=opt.get("lbd", 1.0), dt=opt.get("dt", 0.1),
+                         weak_scaling=opt.get("weakScaling", 1))
+    else:
+        grid = laplacian_grid(opt.get("size", 4), dim=opt.get("dim", 3),
+                              kappa_max=kappa_max, interp=interp,
+                              inp_eps=opt.get("inpEps", drv.inp_eps),
+                              weak_scaling=opt.get("weakScaling", 1))
     overlap = max(drv.add_overlap, 1)
     timers = Timers()
     res = solve_structured(grid, dom_grid, overlap, geneo=gen, ksp=ksp,
@@ -425,10 +440,15 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
           file=out)
     print(f"INFO: {ksp.type} ksp, eps rel {ksp.rtol:.1e}, "
           f"eps abs {ksp.atol:.1e}, max iterations {ksp.max_it}", file=out)
-    line = f"INFO: {gen.name} pc, L1 fdm"
+    l1_kind = {"FDMFactor": "fdm", "BTSolver": "block-tridiag",
+               "PCGSolver": "inexact-pcg"}.get(
+        type(res.pc.l1).__name__, type(res.pc.l1).__name__)
+    line = f"INFO: {gen.name} pc, L1 {l1_kind}"
     if gen.lvl2_num:
         line += (f", tau {gen.tau:.2f}, L2 "
-                 f"{gen.els2.type} fdm-shift-invert")
+                 f"{gen.els2.type} shift-invert")
+        if gen.lvl2_num == 2:
+            line += f", gamma {gen.gamma:.2f}"
     print(line, file=out)
     if not drv.short_res:
         st = res.stats

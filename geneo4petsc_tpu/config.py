@@ -164,7 +164,13 @@ class DriverOptions:
     short_res: bool = False
     cmd_line: bool = False
     n_parts: int = 2  # "mpirun -n" equivalent: number of subdomains
-    # "GX,GY,GZ": route the solve through the structured FDM/stencil
-    # backend (box decomposition of the generator's tensor grid) — the
-    # 10M+ DOF scale path; laplacian generator only
+    # "GX,GY,GZ": route the solve through the structured stencil backend
+    # (box decomposition of the generator's tensor grid) — the 10M+ DOF
+    # scale path; laplacian/heat generators
     structured: str = ""
+    # -pc_mg_* options (the reference sweep's MG_OPT,
+    # tst/laplacian/laplacianRun.sh: "-pc_mg_cycle_type w
+    # -pc_mg_smoothup 5 -pc_mg_smoothdown 5")
+    mg_cycle_type: str = "v"
+    mg_smooth_down: int = 1
+    mg_smooth_up: int = 1

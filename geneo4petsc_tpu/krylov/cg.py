@@ -27,13 +27,22 @@ def cg_solve(matvec: Callable, b: jax.Array,
              rtol: float = 1e-5, atol: float = 1e-50, dtol: float = 1e4,
              max_it: int = 10000,
              norm_type: str = "preconditioned",
-             stall_its: int | None = None) -> cm.SolveResult:
+             stall_its: int | None = None,
+             flexible: bool = False) -> cm.SolveResult:
     """stall_its (OFF by default — PETSc has no stagnation test): exit
     with CONVERGED_STEP_LENGTH when the residual norm has not improved
     for `stall_its` consecutive iterations.  Used by the mixed-precision
     refinement drivers, where the f32 roundoff floor is problem-scaled
     and an unreachable rtol would otherwise burn max_it iterations at the
-    floor (the f64 outer loop owns true convergence)."""
+    floor (the f64 outer loop owns true convergence).
+
+    flexible: Polak-Ribiere beta (flexible CG / KSPPIPEFCG family) —
+    beta = z_{k+1}.(r_{k+1} - r_k) / z_k.r_k instead of Fletcher-Reeves.
+    Mathematically identical for a FIXED SPD preconditioner; required for
+    convergence when the preconditioner varies between applications
+    (inexact Schwarz: the structured backend's PCG local solves,
+    structured/solvers.py — the reference's MUMPS solves are exact so
+    PETSc runs plain CG, geneo.cpp:94-124)."""
     dtype = b.dtype
     if pc_apply is None:
         pc_apply = lambda v: v
@@ -79,6 +88,7 @@ def cg_solve(matvec: Callable, b: jax.Array,
         pw = jnp.vdot(p, w)
         alpha = rz / pw
         x = x + alpha * p
+        r_old = r
         r = r - alpha * w
         z2 = pc_apply(r)
         rz2 = jnp.vdot(r, z2)
@@ -100,7 +110,10 @@ def cg_solve(matvec: Callable, b: jax.Array,
             best = jnp.minimum(best, rn)
             reason = jnp.where((since >= stall_its) & (reason == 0),
                                cm.CONVERGED_STEP_LENGTH, reason)
-        beta = rz2 / rz
+        if flexible:
+            beta = (rz2 - jnp.vdot(r_old, z2)) / rz
+        else:
+            beta = rz2 / rz
         p = z2 + beta * p
         return x, r, z2, p, rz2, it, reason, rn, hist, best, since
 

@@ -38,7 +38,8 @@ from ..ops import batched_linalg as bl
 @partial(jax.tree_util.register_dataclass,
          data_fields=["vals", "cols", "rows", "inv_diag", "agg",
                       "coarse_factor"],
-         meta_fields=["n_levels", "ns", "omega"])
+         meta_fields=["n_levels", "ns", "omega", "cycle_type",
+                      "smooth_down", "smooth_up"])
 @dataclass(frozen=True)
 class MGPreconditioner:
     n_levels: int              # total levels incl. the dense-coarse one
@@ -50,6 +51,12 @@ class MGPreconditioner:
     inv_diag: tuple            # [n_l]
     agg: tuple                 # [n_l] int32 aggregate ids, levels 0..L-2
     coarse_factor: jax.Array   # [1, n_c, n_c] Cholesky of the last level
+    # -pc_mg_cycle_type {v,w} / -pc_mg_smoothdown / -pc_mg_smoothup
+    # (the reference's test matrix runs mg as "w" with 5/5 sweeps,
+    # tst/laplacian/laplacianRun.sh MG_OPT)
+    cycle_type: str = "v"
+    smooth_down: int = 1
+    smooth_up: int = 1
 
     def _spmv(self, lvl: int, x: jax.Array) -> jax.Array:
         prod = self.vals[lvl] * x[self.cols[lvl]]
@@ -57,16 +64,24 @@ class MGPreconditioner:
                                    num_segments=self.ns[lvl],
                                    indices_are_sorted=True)
 
+    def _smooth(self, lvl: int, x: jax.Array, r: jax.Array,
+                sweeps: int) -> jax.Array:
+        for _ in range(sweeps):
+            x = x + self.omega * self.inv_diag[lvl] * (r - self._spmv(lvl, x))
+        return x
+
     def _cycle(self, lvl: int, r: jax.Array) -> jax.Array:
         if lvl == self.n_levels - 1:
             return bl.cholesky_solve(self.coarse_factor, r[None])[0]
-        x = self.omega * self.inv_diag[lvl] * r            # pre-smooth
-        res = r - self._spmv(lvl, x)
-        rc = jax.ops.segment_sum(res, self.agg[lvl],       # restrict
-                                 num_segments=self.ns[lvl + 1])
-        x = x + self._cycle(lvl + 1, rc)[self.agg[lvl]]    # correct
-        res = r - self._spmv(lvl, x)
-        return x + self.omega * self.inv_diag[lvl] * res   # post-smooth
+        x = self._smooth(lvl, jnp.zeros_like(r), r, self.smooth_down)
+        visits = 2 if (self.cycle_type == "w"
+                       and lvl + 1 < self.n_levels - 1) else 1
+        for _ in range(visits):                            # V or W cycle
+            res = r - self._spmv(lvl, x)
+            rc = jax.ops.segment_sum(res, self.agg[lvl],   # restrict
+                                     num_segments=self.ns[lvl + 1])
+            x = x + self._cycle(lvl + 1, rc)[self.agg[lvl]]  # correct
+        return self._smooth(lvl, x, r, self.smooth_up)
 
     def apply(self, x: jax.Array) -> jax.Array:
         return self._cycle(0, x)
@@ -94,8 +109,9 @@ def _aggregate(a: sp.csr_matrix) -> np.ndarray:
 
 
 def setup_mg(a_csr: sp.csr_matrix, dtype=None, omega: float = 2.0 / 3.0,
-             coarse_max: int = 512, max_levels: int = 10
-             ) -> MGPreconditioner:
+             coarse_max: int = 512, max_levels: int = 10,
+             cycle_type: str = "v", smooth_down: int = 1,
+             smooth_up: int = 1) -> MGPreconditioner:
     """Build the Galerkin hierarchy on the host, upload per-level COO."""
     if dtype is None:
         dtype = default_dtype()
@@ -122,7 +138,8 @@ def setup_mg(a_csr: sp.csr_matrix, dtype=None, omega: float = 2.0 / 3.0,
     fac = bl.cholesky_factor(jnp.asarray(dense[None], dtype))
     return MGPreconditioner(
         n_levels=len(mats), ns=tuple(m.shape[0] for m in mats),
-        omega=float(omega),
+        omega=float(omega), cycle_type=cycle_type,
+        smooth_down=int(smooth_down), smooth_up=int(smooth_up),
         vals=tuple(vals), cols=tuple(cols), rows=tuple(rows),
         inv_diag=tuple(inv_diag),
         agg=tuple(jnp.asarray(a.astype(np.int32)) for a in aggs),

@@ -102,7 +102,10 @@ def solve_assembled(assembled: AssembledProblem,
         pc_name = "bjacobi"
     elif pc_type == "mg":
         from .precond.mg import setup_mg
-        pc = setup_mg(assembled.a_csr, dtype=dtype)
+        pc = setup_mg(assembled.a_csr, dtype=dtype,
+                      cycle_type=driver.mg_cycle_type,
+                      smooth_down=driver.mg_smooth_down,
+                      smooth_up=driver.mg_smooth_up)
         jax.block_until_ready(pc.coarse_factor)
         pc_name = "mg"
     elif pc_type == "none":

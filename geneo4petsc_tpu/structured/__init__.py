@@ -12,6 +12,8 @@ O(n_loc * s2) memory (s2 = plane size), the banded-Cholesky analogue of
 MUMPS on a tensor grid.
 """
 
-from .grid import StructuredGrid, laplacian_grid
+from .grid import (StructuredGrid, heat_grid, inclusion_grid,
+                   laplacian_grid)
 
-__all__ = ["StructuredGrid", "laplacian_grid"]
+__all__ = ["StructuredGrid", "heat_grid", "inclusion_grid",
+           "laplacian_grid"]

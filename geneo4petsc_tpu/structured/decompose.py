@@ -111,6 +111,47 @@ class StructuredDecomposition:
         return (fs[2][:, None, None] * fs[1][None, :, None]
                 * fs[0][None, None, :])
 
+    # ---------------- domain topology ----------------
+
+    def adjacency(self) -> np.ndarray:
+        """Boolean domain-intersection adjacency (diagonal False) — the
+        structured twin of partition.decompose.Decomposition.adjacency:
+        two dilated boxes share nodes iff their per-axis intervals
+        [p*inner - L, p*inner + inner + L) overlap, i.e.
+        |delta_a| * inner_a < inner_a + 2 * pad_a on every axis."""
+        rad = [(self.inner[a] + 2 * self.pad[a] - 1) // self.inner[a]
+               if self.dom_grid[a] > 1 else 0 for a in range(3)]
+        d = np.arange(self.n_dom)
+        gx, gy, _gz = self.dom_grid
+        pos = np.stack([d % gx, (d // gx) % gy, d // (gx * gy)])  # [3, n]
+        adj = np.ones((self.n_dom, self.n_dom), dtype=bool)
+        for a in range(3):
+            delta = np.abs(pos[a][:, None] - pos[a][None, :])
+            adj &= delta <= rad[a]
+        np.fill_diagonal(adj, False)
+        return adj
+
+    def max_mult(self) -> np.ndarray:
+        """[n_dom] max node multiplicity over each domain's real slots
+        (the k of getLocalGenEOTau, src/geneo.cpp:1097-1118).  Separable:
+        the max of a product field over a box is the product of per-axis
+        window maxima."""
+        out = np.ones(self.n_dom, np.int64)
+        for a in range(3):
+            m = self.axis_node_mult(a)
+            n = self.grid.shape[a]
+            g = self.dom_grid[a]
+            lo = np.arange(g) * self.inner[a] - self.pad[a]
+            hi = lo + self.local_shape[a]
+            per_pos = np.array([m[max(l, 0):min(h, n)].max()
+                                for l, h in zip(lo, hi)])
+            d = np.arange(self.n_dom)
+            pos = (d % self.dom_grid[0] if a == 0 else
+                   (d // self.dom_grid[0]) % self.dom_grid[1] if a == 1
+                   else d // (self.dom_grid[0] * self.dom_grid[1]))
+            out *= per_pos[pos]
+        return out
+
     # ---------------- per-domain boxes ----------------
 
     def dom_pos(self, d: int) -> tuple[int, int, int]:
@@ -193,8 +234,20 @@ class StructuredDecomposition:
             dom_nodes.append(nodes)
             node_mult[nodes] += 1
             del starts
-        inter = [[np.zeros(0, np.int64)] * self.n_dom
-                 for _ in range(self.n_dom)]
+        # pairwise intersections as LOCAL-index lists (decompose,
+        # geneo4PETSc.cpp:347-376) — needed for GenEO-2's gammaLoc parity
+        inter = []
+        for p in range(self.n_dom):
+            row = []
+            for q in range(self.n_dom):
+                if q == p:
+                    row.append(np.zeros(0, np.int64))
+                else:
+                    shared = np.intersect1d(dom_nodes[p], dom_nodes[q],
+                                            assume_unique=True)
+                    row.append(np.searchsorted(
+                        dom_nodes[p], shared).astype(np.int64))
+            inter.append(row)
         return Decomposition(mesh=mesh, n_dom=self.n_dom, metis_dual=False,
                              add_overlap=self.overlap, elem_doms=elem_doms,
                              dom_nodes=dom_nodes, node_mult=node_mult,

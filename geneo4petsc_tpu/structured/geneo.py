@@ -16,10 +16,15 @@ src/geneo.cpp), rebuilt on the structured backend:
     neighbor block of E is one batched [n_dom, k, k] einsum over the
     static box-intersection windows (MatPtAP, src/geneo.cpp:1033).
 
-Supported configurations: lvl1 in {ASM, RAS, SRAS}, lvl2 in
-{0, 1, H1, E1}.  ORAS/SORAS (border-restricted Robin blocks) and GenEO-2
-break kappa-separability and stay on the generic / block-tridiagonal
-paths.  Setup is host-orchestrated (static coarse shapes before compile),
+The FULL preconditioner family runs here: lvl1 in {ASM, RAS, SRAS, ORAS,
+SORAS}, lvl2 in {0, 1, H1, E1, 2, H2, E2}.  Separable kappa-derived
+Laplacian stencils take the exact FDM route; everything else (heat's mass
+term, non-separable coefficient fields, border-restricted Robin blocks)
+takes the general solvers (structured/solvers.py): exact block-tridiag
+factors while the plane blocks fit, surrogate-FDM-preconditioned inexact
+PCG above that — the at-scale realizations of MUMPS LU
+(src/geneo.cpp:94-124) and the Robin factorization (:1613-1670).
+Setup is host-orchestrated (static coarse shapes before compile),
 apply is pure and jit/shard_map-able.
 """
 
@@ -37,9 +42,9 @@ import jax.numpy as jnp
 
 from ..config import GenEOOptions
 from ..ops.lobpcg import matfree_lobpcg
-from ..precond.geneo import (GenEOStats, factor_e,
+from ..precond.geneo import (GenEOStats, _gamma_loc, factor_e,
                              prune_dependent_columns)
-from . import fdm, halo
+from . import fdm, halo, solvers
 from . import local_ops as lo
 from .decompose import StructuredDecomposition
 from .grid import GlobalStencil, global_stencil
@@ -50,7 +55,7 @@ from .grid import GlobalStencil, global_stencil
                       "e_evecs", "e_eig_inv", "x0"],
          meta_fields=["grid_shape", "dom_grid", "pad", "local_shape",
                       "lvl1", "lvl2", "hybrid", "eff_hybrid", "dim_e",
-                      "k_max"])
+                      "k_max", "l1_exact"])
 @dataclass(frozen=True)
 class StructuredGenEO:
     """Immutable setup product; ``apply`` is the per-iteration hot path.
@@ -64,15 +69,16 @@ class StructuredGenEO:
     dom_grid: tuple
     pad: tuple
     local_shape: tuple
-    lvl1: str          # ASM | RAS | SRAS
-    lvl2: int          # 0 | 1
+    lvl1: str          # ASM | RAS | SRAS | ORAS | SORAS
+    lvl2: int          # 0 | 1 | 2
     hybrid: bool
     eff_hybrid: bool
     dim_e: int
     k_max: int
     # --- data ---
     gop: GlobalStencil           # assembled global operator (iteration SpMV)
-    l1: fdm.FDMFactor            # Dirichlet FDM factor (level-1 solves)
+    l1: object                   # Dirichlet/Robin local solver (.solve):
+    #                              FDMFactor | BTSolver | PCGSolver
     pou: jax.Array | None        # [d, lz, ly, lx] partition of unity
     maskf: jax.Array             # [d, lz, ly, lx] float real-slot mask
     z: jax.Array | None          # [d, lz, ly, lx, k_max] D-weighted basis
@@ -80,6 +86,9 @@ class StructuredGenEO:
     e_evecs: jax.Array | None    # [K, K] coarse factor W (E^-1 = W D W^T)
     e_eig_inv: jax.Array | None  # [K]
     x0: jax.Array                # [n] initial guess (Q b if eff-hybrid)
+    # level-1 solves are exact (FDM / block-tridiag) vs inexact PCG —
+    # inexact Schwarz callers should pair with flexible CG
+    l1_exact: bool = True
 
     # ---------------- halo plumbing ----------------
     def _gather(self, x: jax.Array) -> jax.Array:
@@ -111,10 +120,10 @@ class StructuredGenEO:
     # ---------------- level 1 (applyLevel1) ----------------
     def _local_solve(self, x: jax.Array) -> jax.Array:
         xb = self._gather(x)
-        if self.lvl1 in ("RAS", "SRAS"):
+        if self.lvl1 in ("RAS", "SRAS", "ORAS", "SORAS"):
             xb = xb * self.pou                      # (1.29) of R1
         ub = self.l1.solve(xb)
-        if self.lvl1 == "SRAS":
+        if self.lvl1 in ("SRAS", "SORAS"):
             ub = ub * self.pou
         # pad slots are decoupled in the FDM factor but masking pins them
         # to exact zeros (degenerate 1-D eigenvalues could mix blocks)
@@ -142,38 +151,113 @@ class StructuredGenEO:
 
 # ===================== setup =====================
 
-def _flat_ops(neu, dirs, pou_b, maskf, t_fac: fdm.FDMFactor):
+def _flat_ops(a_st, b_st, maskf, t_tree):
     """LOBPCG operator callables over flat [d, n_loc, m] blocks.
 
     [d, n_loc, m] <-> [d, lz, ly, lx, m] is a FREE reshape (n_loc is the
     flattened box in the same layout), so the stencil/FDM kernels apply
-    directly.  Batch size is taken from the arrays (callers slice the
-    pytrees to chunk the domain batch)."""
+    directly.  a_st/b_st are LocalStencil pencils; t_tree is any local
+    solver (.solve) playing the shift-invert preconditioner.  Batch size
+    is taken from the arrays (callers slice the pytrees to chunk the
+    domain batch)."""
     n_dom, sz, sy, sx = maskf.shape
     box = (n_dom, sz, sy, sx, -1)
     flat = (n_dom, sz * sy * sx, -1)
 
     def a_op(v):
-        return neu.matvec(v.reshape(box)).reshape(flat)
+        return a_st.matvec(v.reshape(box)).reshape(flat)
 
     def b_op(v):
-        w = v.reshape(box) * pou_b[..., None]
-        w = dirs.matvec(w) * pou_b[..., None]
-        return w.reshape(flat)
+        return b_st.matvec(v.reshape(box)).reshape(flat)
 
     def t_op(v):
-        w = t_fac.solve(v.reshape(box)) * maskf[..., None]
+        w = t_tree.solve(v.reshape(box)) * maskf[..., None]
         return w.reshape(flat)
 
     return a_op, b_op, t_op
+
+
+def finalize_coarse(e: np.ndarray, z: jax.Array, counts: np.ndarray,
+                    stats: GenEOStats, dtype, e_dtype):
+    """Prune linearly dependent coarse columns (pivoted Cholesky — see
+    precond.geneo.prune_dependent_columns) and factor E.  ``z`` is any
+    [n_dom, ..., k_max] device basis (column axis last — works for both
+    the scalar and the vector/component backends).
+
+    Returns (z, colids, e_evecs, e_eig_inv, dim_e, k_max, counts)."""
+    n_dom = counts.shape[0]
+    dim_e = int(counts.sum())
+    offs = np.zeros(n_dom, np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    keep = prune_dependent_columns(e, e_dtype)
+    if keep is not None:
+        # E becomes SPD, dim_e shrinks by exactly the dependency count
+        stats.e_pruned = dim_e - keep.size
+        kept_mask = np.zeros(dim_e, bool)
+        kept_mask[keep] = True
+        new_counts = np.array(
+            [int(kept_mask[offs[p]:offs[p] + counts[p]].sum())
+             for p in range(n_dom)], np.int64)
+        new_offs = np.zeros(n_dom, np.int64)
+        np.cumsum(new_counts[:-1], out=new_offs[1:])
+        new_k_max = max(int(new_counts.max()), 1)
+        gidx = np.zeros((n_dom, new_k_max), np.int64)
+        for p in range(n_dom):
+            js = np.flatnonzero(kept_mask[offs[p]:offs[p] + counts[p]])
+            gidx[p, :js.size] = js
+            stats.eigenvalues[p] = [stats.eigenvalues[p][j] for j in js]
+        colmask = np.arange(new_k_max)[None, :] < new_counts[:, None]
+        mid = (1,) * (z.ndim - 2)
+        z = jnp.take_along_axis(
+            z, jnp.asarray(gidx).reshape((n_dom,) + mid + (new_k_max,)),
+            axis=-1) * jnp.asarray(colmask, dtype).reshape(
+                (n_dom,) + mid + (new_k_max,))
+        e = e[np.ix_(keep, keep)]
+        stats.real_dim_e = new_counts.copy()
+        counts, offs = new_counts, new_offs
+        dim_e, k_max = int(new_counts.sum()), new_k_max
+    else:
+        k_max = max(int(counts.max()), 1)
+    colids_np = np.full((n_dom, k_max), dim_e, np.int32)
+    for p in range(n_dom):
+        colids_np[p, :counts[p]] = offs[p] + np.arange(counts[p])
+    ev_np, ew_np, stats.e_null = factor_e(e, dtype, e_dtype=e_dtype)
+    return (z, jnp.asarray(colids_np), jnp.asarray(ev_np, dtype),
+            jnp.asarray(1.0 / ew_np, dtype), dim_e, k_max, counts)
+
+
+def _fdm_eligible(sd: StructuredDecomposition) -> bool:
+    """True when the exact FDM fast path applies: kappa-derived Laplacian
+    stencil with a separable coefficient field."""
+    if not sd.grid.is_kappa_stencil:
+        return False
+    try:
+        fdm._axis_profiles(sd)
+        return True
+    except ValueError:
+        return False
+
+
+def _tau_loc_structured(sd: StructuredDecomposition, tau: float,
+                        cst: bool) -> np.ndarray:
+    """Local adaptive tau (getLocalGenEOTau, src/geneo.cpp:1097-1118):
+    tauLoc = k * tau with k = max DOF multiplicity, clamped to 0.9."""
+    if cst:
+        return np.full(sd.n_dom, tau)
+    k = sd.max_mult().astype(np.float64)
+    t = k * tau
+    t = np.where(t >= 1.0, 0.9, t)
+    return np.where(k > 0, t, tau)
 
 
 def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
               y_dil: jax.Array, counts: np.ndarray) -> np.ndarray:
     """E = Z^T A Z via per-offset window contractions.
 
-    z:     [n_dom, lz, ly, lx, k_max] D-weighted local basis (zero pad)
-    y_dil: [n_dom, dz, dy, dx, k_max] = A z_d on the one-layer-dilated box
+    z:     [n_dom, lz, ly, lx(, c), k_max] D-weighted local basis (zero
+           pad; optional per-node component axis c for vector problems)
+    y_dil: [n_dom, dz, dy, dx(, c), k_max] = A z_d on the one-layer-dilated
+           box
     Returns the REAL (unpadded) dense symmetric E [dim_e, dim_e] (host).
     """
     gx, gy, gz = sd.dom_grid
@@ -210,6 +294,8 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
             continue
         offs_used.append(((ox, oy, oz), ws))
 
+    sub = "dzyxck,dzyxcm->dkm" if z.ndim == 6 else "dzyxk,dzyxm->dkm"
+
     @jax.jit
     def all_blocks(z_, y_):
         """One compiled program for every neighbor-offset contraction."""
@@ -220,10 +306,10 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
             for gaxis, o in ((2, ox), (1, oy), (0, oz)):
                 if o:
                     zr = jnp.roll(zr, -o, axis=gaxis)
-            zwin = halo.to_batch(zr)[:, zwz, zwy, zwx, :]
-            ywin = y_[:, ywz, ywy, ywx, :]
+            zwin = halo.to_batch(zr)[:, zwz, zwy, zwx]
+            ywin = y_[:, ywz, ywy, ywx]
             out.append(jnp.einsum(
-                "dzyxk,dzyxm->dkm", zwin, ywin,
+                sub, zwin, ywin,
                 preferred_element_type=jnp.float64
                 if z_.dtype == jnp.float64 else jnp.float32,
                 precision="highest"))
@@ -274,14 +360,6 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     import sys as _sys
     import time as _time
     opts.validate()
-    if opts.lvl1_oras:
-        raise ValueError(
-            "structured path: ORAS/SORAS need border-restricted Robin "
-            "blocks (not kappa-separable); use the generic path")
-    if opts.lvl2_num == 2:
-        raise ValueError(
-            "structured path: GenEO-2 needs Robin pencils; use the "
-            "generic path")
     _dbg = _os.environ.get("GENEO_SETUP_VERBOSE") == "1"
     _t0 = _time.perf_counter()
 
@@ -306,12 +384,28 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     f = lo.slice_inner(f_dil, sd)
     maskf = f.mask.astype(dtype)
     gop = global_stencil(sd.grid, dtype)
-    _vlog("fields gathered")
+    sep = _fdm_eligible(sd)
+    _vlog(f"fields gathered (fdm separable: {sep})")
 
-    # level-1 FDM factor (Dirichlet; exact direct solve)
-    l1 = fdm.fdm_factor(fdm.dirichlet_axes(sd), dtype=dtype)
+    # level-1 direct solver: exact FDM for separable Dirichlet blocks;
+    # otherwise (Robin/ORAS, heat, non-separable kappa) the general
+    # solvers — exact block-tridiag while the factor fits, inexact
+    # surrogate-preconditioned PCG at scale (solvers.py policy)
+    l1_exact = True
+    if opts.lvl1_oras:
+        l1_st = lo.robin_stencil(f, opts.optim)
+        l1, l1_exact = solvers.select_local_solver(
+            l1_st, maskf, sd.local_shape, rtol=float(opts.dls1.rtol),
+            max_it=min(int(opts.dls1.max_it), 200), dtype=dtype)
+    elif sep:
+        l1 = fdm.fdm_factor(fdm.dirichlet_axes(sd), dtype=dtype)
+    else:
+        l1, l1_exact = solvers.select_local_solver(
+            lo.dirichlet_stencil(f), maskf, sd.local_shape,
+            rtol=float(opts.dls1.rtol),
+            max_it=min(int(opts.dls1.max_it), 200), dtype=dtype)
     _t = _mark("l1_minv", _t)
-    _vlog("L1 FDM factored")
+    _vlog(f"L1 factored (exact={l1_exact})")
 
     need_pou = opts.lvl2_num > 0 or opts.lvl1_ras
     pou_b = jnp.where(f.mask, 1.0 / jnp.maximum(f.mult, 1.0), 0.0) \
@@ -330,37 +424,44 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
             hybrid=False, eff_hybrid=False, dim_e=0, k_max=0, gop=gop,
             l1=l1, pou=pou_b, maskf=maskf, z=None, colids=None,
             e_evecs=None, e_eig_inv=None,
-            x0=jnp.zeros(sd.grid.n_nodes, dtype))
+            x0=jnp.zeros(sd.grid.n_nodes, dtype), l1_exact=l1_exact)
         return pc, stats
 
-    # ----- GenEO-1 eigensolve: (A_Neu, D A_Dir D), threshold tau -----
+    # ----- GenEO eigensolves -----
+    # GenEO-1: (A_Neu, D A_Dir D) <= tau               (Def 7.14 of R1)
+    # GenEO-2: (A_Neu, A_Rob) <= tauLoc  ((19) of R4) and the REVERSED
+    #          gamma pencil (A_Rob, D A_Dir D) with mu <= 1/gammaLoc
+    #          ((21) of R4 — LOBPCG computes smallest, so the pencil is
+    #          swapped and kept lambda = 1/mu >= gammaLoc)
     _t = _time.perf_counter()
     neu = lo.neumann_stencil(f)
     dirs = lo.dirichlet_stencil(f)
-    t_fac = fdm.fdm_factor(fdm.neumann_axes(sd), shift=float(opts.tau),
-                           dtype=dtype)
+    b_dad = solvers.diag_congruence(dirs, pou_b)      # D A_Dir D
 
     max_it = min(int(opts.els2.max_it), 400) \
         if opts.els2.max_it < 10000 else 100
 
     @partial(jax.jit, static_argnames=("k",))
-    def run_lobpcg(neu_, dirs_, pou_, maskf_, t_, k):
+    def run_lobpcg(a_st, b_st, maskf_, t_tree, k, x0_prev=None):
         # rebind closures on the jitted arguments (operator pytrees must
         # be traced arguments, never closed-over constants)
-        a_o, b_o, t_o = _flat_ops(neu_, dirs_, pou_, maskf_, t_)
+        a_o, b_o, t_o = _flat_ops(a_st, b_st, maskf_, t_tree)
         d = maskf_.shape[0]
         x0 = jax.random.normal(jax.random.PRNGKey(0), (d, n_loc, k),
                                dtype)
         x0 = x0 * maskf_.reshape(d, n_loc)[..., None]
         x0 = t_o(x0)
+        if x0_prev is not None:
+            # warm restart: keep the previously converged block, top up
+            # with fresh preconditioned-random columns only
+            x0 = x0.at[..., :x0_prev.shape[-1]].set(x0_prev)
         return matfree_lobpcg(a_o, b_o, t_o, x0, max_it=max_it,
                               tol=float(opts.els2.rtol))
 
     # LOBPCG live set ~ 16 k-column [chunk, n_loc] panels; chunk the
     # domain batch to a device-memory budget (one compiled executable per
     # chunk shape, reused across slices — the generic path's discipline)
-    import os as _os2
-    budget = float(_os2.environ.get("GENEO_LOBPCG_BUDGET_GB", "6")) * 1e9
+    budget = float(_os.environ.get("GENEO_LOBPCG_BUDGET_GB", "6")) * 1e9
 
     def _slice(t, lo_i, hi_i):
         return jax.tree_util.tree_map(
@@ -371,12 +472,14 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
             lambda a, c: jnp.concatenate([a, c], 0)
             if getattr(a, "ndim", 0) else a, t1, t2)
 
-    def run_all(k):
+    def run_all(a_st, b_st, t_tree, k, x0_prev=None):
         per_dom = n_loc * 16 * k * np.dtype(np.float32).itemsize
         chunk = int(np.clip(budget // max(per_dom, 1), 1, n_dom))
-        if chunk >= n_dom:
-            return run_lobpcg(neu, dirs, pou_b, maskf, t_fac, k)
-        trees = (neu, dirs, pou_b, maskf, t_fac)
+        # BTSolver factors batch domains on dim 1 (plane-major scan
+        # layout) — the leading-dim chunk slicer does not apply
+        if chunk >= n_dom or isinstance(t_tree, solvers.BTSolver):
+            return run_lobpcg(a_st, b_st, maskf, t_tree, k, x0_prev)
+        trees = (a_st, b_st, maskf, t_tree, x0_prev)
         n_chunks = (n_dom + chunk - 1) // chunk
         parts = []
         for c in range(n_chunks):
@@ -386,7 +489,7 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
                 pad_n = chunk - (hi_i - lo_i)
                 args = [_cat(a, _slice(t, 0, pad_n))
                         for a, t in zip(args, trees)]
-            out = run_lobpcg(*args, k)
+            out = run_lobpcg(*args[:4], k, x0_prev=args[4])
             jax.block_until_ready(out[0])
             # eigenVECTORS stay on device (pulls are the tunneled-TPU
             # wall); w/res are tiny
@@ -395,51 +498,159 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
         return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
                      for i in range(3))
 
-    # tau-adaptive candidate count: grow the block until every domain's
-    # window [0, tau] is strictly inside the computed candidates (the
-    # Sylvester-estimate role, estimateNumberOfEigenValues
-    # geneo.cpp:502-560, realized by doubling instead of inertia counts)
-    k_cand = opts.cut if opts.cut > 0 else 8
-    k_cand = min(k_cand, n_loc)
-    while True:
-        w, v, res = run_all(k_cand)
+    def dense_pencil(a_st, b_st, steer, flip):
+        """Materialize the batched pencil densely from the stencil
+        matvecs (identity-block probe — n_loc columns, test-scale only)
+        and solve with the exact batched eigh: the structured twin of the
+        generic path's default els2 route, giving EXACT degenerate-
+        cluster multiplicities for iteration-count parity.  ``steer``:
+        the pad-diagonal eigenvalue (1e6 sorts pads above an ascending
+        tau window, 1e-6 below a descending gamma read — the
+        _with_pad_diag discipline); ``flip``: the gamma problem wants the
+        LARGEST pencil eigenvalues — return the spectrum descending so
+        the kept window is again a prefix."""
+        eye = jnp.broadcast_to(
+            jnp.eye(n_loc, dtype=dtype), (n_dom, n_loc, n_loc))
+        box5 = (n_dom, sz, sy, sx, n_loc)
+        a_d = a_st.matvec(eye.reshape(box5)).reshape(n_dom, n_loc, n_loc)
+        b_d = b_st.matvec(eye.reshape(box5)).reshape(n_dom, n_loc, n_loc)
+        padf = 1.0 - maskf.reshape(n_dom, n_loc)
+        pad_eye = padf[:, :, None] * padf[:, None, :] \
+            * jnp.eye(n_loc, dtype=dtype)
+        from ..ops import batched_linalg as bl
+        a_eff = a_d - a_d * pad_eye + steer * pad_eye
+        b_eff = b_d - b_d * pad_eye + pad_eye
+        w, v = bl.generalized_eigh(a_eff, b_eff)
         w_np = np.asarray(w, np.float64)
-        _vlog(f"lobpcg k={k_cand} done")
-        if opts.cut > 0 or k_cand >= min(128, n_loc):
-            break
-        if np.all(w_np[:, -1] > opts.tau):
-            break
-        k_cand = min(k_cand * 2, min(128, n_loc))
-    res_np = np.asarray(res, np.float64)
-    if timers is not None:
-        _dt = _time.perf_counter() - _t
-        timers.add("l2_eig", _dt)
-        timers.add("l2_tau_eig", _dt)
+        v = jnp.asarray(v, dtype)
+        if flip:
+            w_np = w_np[:, ::-1].copy()
+            v = v[:, :, ::-1]
+        return w_np, v
+
+    # dense-eigh is exact but O(n_loc^3): the default els2 route at test
+    # scale; LOBPCG is the at-scale route (and the only one above this)
+    dense_ok = opts.els2.type != "lobpcg" and n_loc <= 1024
+
+    def run_pencil(label, a_st, b_st, t_tree, thr, thr_dense, cut_p):
+        """One GenEO pencil.  Returns (w_np, v, base, kept_res) with w in
+        the PENCIL-LAMBDA convention and the kept window always a prefix
+        (ascending for tau, descending for gamma).
+
+        Iterative route: candidate growth until every domain's window is
+        strictly inside the computed prefix (the Sylvester-estimate role,
+        estimateNumberOfEigenValues geneo.cpp:502-560, realized by
+        warm-restarted doubling instead of inertia counts); the gamma
+        problem runs the SWAPPED pencil (smallest mu = 1/lambda)."""
+        gamma_p = label == "gamma"
+        if dense_ok:
+            if gamma_p:
+                # unswapped (D A_Dir D, A_Rob), largest lambda
+                w_np, v = dense_pencil(b_st, a_st, 1e-6, flip=True)
+                base = (w_np >= thr_dense[:, None]).sum(1).astype(np.int64)
+            else:
+                w_np, v = dense_pencil(a_st, b_st, 1e6, flip=False)
+                base = (w_np <= thr_dense[:, None]).sum(1).astype(np.int64)
+            if cut_p > 0:
+                base = np.minimum(base, cut_p)
+            _vlog(f"dense eigh[{label}] done")
+            return w_np, v, base, np.zeros(n_dom)
+        k_cand = cut_p if cut_p > 0 else 8
+        k_cand = min(k_cand, n_loc)
+        x_prev = None
+        while True:
+            w, v, res = run_all(a_st, b_st, t_tree, k_cand, x_prev)
+            w_np = np.asarray(w, np.float64)
+            _vlog(f"lobpcg[{label}] k={k_cand} done")
+            if cut_p > 0 or k_cand >= min(128, n_loc):
+                break
+            if np.all(w_np[:, -1] > thr):
+                break
+            x_prev = v
+            k_cand = min(k_cand * 2, min(128, n_loc))
+        res_np = np.asarray(res, np.float64)
+        # selection window is a PREFIX of the ascending candidates, so Z
+        # builds ON DEVICE by column masking (no eigenvector pull)
+        base = (w_np <= thr[:, None]).sum(axis=1).astype(np.int64)
+        if cut_p > 0:
+            base = np.minimum(base, cut_p)
+        kept_res = np.zeros(n_dom)
+        for p in range(n_dom):
+            if base[p] > 0:
+                kept_res[p] = float(res_np[p, :base[p]].max())
+        if gamma_p:
+            # map the swapped-pencil mu back to lambda = 1/mu
+            w_np = 1.0 / np.maximum(w_np, np.finfo(np.float64).tiny)
+        return w_np, v, base, kept_res
+
+    # assemble the pencil list + shift-invert preconditioners
+    cut_p = opts.cut
+    if opts.lvl2_num == 2 and cut_p >= 2:
+        cut_p = cut_p // 2                    # halved (geneo.cpp:1275)
+    t_rtol, t_maxit = 5e-2, 30                # t_op is a preconditioner
+    if opts.lvl2_num == 1:
+        thr1 = np.full(n_dom, float(opts.tau))
+        if dense_ok:
+            t1 = None
+        elif sep:
+            # exact shifted Neumann FDM (the ARPACK STSINVERT analogue)
+            t1 = fdm.fdm_factor(fdm.neumann_axes(sd),
+                                shift=float(opts.tau), dtype=dtype)
+        else:
+            t1, _ = solvers.select_local_solver(
+                solvers.add_scaled(neu, b_dad, float(opts.tau)), maskf,
+                sd.local_shape, rtol=t_rtol, max_it=t_maxit, dtype=dtype)
+        pencils = [("tau", neu, b_dad, thr1, thr1, t1)]
+    else:
+        rob = lo.robin_stencil(f, opts.optim)
+        tl = _tau_loc_structured(sd, opts.tau, opts.cst)
+        gl = _gamma_loc(sd.adjacency(), n_dom, opts.gamma, opts.cst)
+        stats.tau_loc, stats.gamma_loc = tl, gl
+        thr2 = 1.0 / np.maximum(gl, 1e-12)    # swapped-pencil mu window
+        if dense_ok:
+            t1 = t2 = None
+        else:
+            t1, _ = solvers.select_local_solver(
+                solvers.add_scaled(neu, rob, float(np.mean(tl))), maskf,
+                sd.local_shape, rtol=t_rtol, max_it=t_maxit, dtype=dtype)
+            t2, _ = solvers.select_local_solver(
+                solvers.add_scaled(rob, b_dad, float(np.mean(thr2))),
+                maskf, sd.local_shape, rtol=t_rtol, max_it=t_maxit,
+                dtype=dtype)
+        pencils = [("tau", neu, rob, tl, tl, t1),
+                   ("gamma", rob, b_dad, thr2, gl, t2)]
+
+    runs = []
+    for label, a_st, b_st, thr, thr_dense, t_tree in pencils:
+        _tp = _time.perf_counter()
+        w_np, v, base, kres = run_pencil(label, a_st, b_st, t_tree, thr,
+                                         thr_dense, cut_p)
+        if timers is not None:
+            _dt = _time.perf_counter() - _tp
+            timers.add("l2_eig", _dt)
+            timers.add(f"l2_{label}_eig", _dt)
+        runs.append((label, w_np, v, base, kres))
     _t = _time.perf_counter()
 
-    # selection: exact [0, tau] window (geneo.cpp:713-714) — eigenvalues
-    # ascend, so the kept set is always a PREFIX of the candidates and Z
-    # can be built ON DEVICE by column masking (no eigenvector pull —
-    # device->host transfers are the tunneled-TPU wall)
-    base = (w_np <= opts.tau).sum(axis=1).astype(np.int64)
-    if opts.cut > 0:
-        base = np.minimum(base, opts.cut)
-    stats.estim_dim_e = base.copy()
-    # kept-pair residual maxima (the kept set is the ascending prefix)
-    kept_res = np.zeros(n_dom)
-    for p in range(n_dom):
-        if base[p] > 0:
-            kept_res[p] = float(res_np[p, :base[p]].max())
+    w1_np, v1, base1 = runs[0][1], runs[0][2], runs[0][3]
+    kept_res = runs[0][4].copy()
+    if len(runs) > 1:
+        w2_np, v2, base2 = runs[1][1], runs[1][2], runs[1][3]
+        kept_res = np.maximum(kept_res, runs[1][4])
+        lam2 = w2_np                # already in lambda convention
+    else:
+        v2, base2, lam2 = None, np.zeros(n_dom, np.int64), None
+    stats.estim_dim_e = base1 + base2
     stats.lobpcg_res = kept_res
 
-    # Nicolaides near-kernel test (geneo.cpp:897-955): quadratic forms of
-    # the constant vector through the stencil operators
+    # Nicolaides near-kernel test (geneo.cpp:897-955) on the tau pencil:
+    # quadratic forms of the constant vector through the stencil operators
     ones_b = maskf
+    b_tau = pencils[0][2]
     num_all = np.asarray(jnp.einsum(
         "dzyx,dzyx->d", ones_b, neu.matvec(ones_b)), np.float64)
     den_all = np.asarray(jnp.einsum(
-        "dzyx,dzyx->d", ones_b, pou_b * dirs.matvec(pou_b * ones_b)),
-        np.float64)
+        "dzyx,dzyx->d", ones_b, b_tau.matvec(ones_b)), np.float64)
     eps64 = np.finfo(np.float64).eps
     eps32 = np.finfo(np.float32).eps
     n_real = np.asarray(jnp.sum(maskf.reshape(n_dom, -1), axis=1),
@@ -449,36 +660,53 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     for p in range(n_dom):
         if n_real[p] == 0:
             continue
-        kept_min = w_np[p, 0] if base[p] > 0 else np.inf
-        if base[p] > 0 and kept_min < eps64:
+        kept_min = w1_np[p, 0] if base1[p] > 0 else np.inf
+        if base1[p] > 0 and kept_min < eps64:
             continue  # a zero eigenvalue is already in the basis
         ratio = abs(num_all[p] / den_all[p]) if den_all[p] != 0 else np.inf
-        if ratio <= eps32 or base[p] == 0:
+        if ratio <= eps32 or base1[p] + base2[p] == 0:
             # near-kernel constant OR forbidden-empty-set fallback
             nic[p] = True
     stats.nicolaides = nic.astype(np.int64)
-    counts = base + nic
+    counts = base1 + nic + base2
     stats.real_dim_e = counts.copy()
     stats.raw_dim_e = counts.copy()
     stats.eigenvalues = [
-        [float(x) for x in w_np[p, :base[p]]] + ([0.0] if nic[p] else [])
+        [float(x) for x in w1_np[p, :base1[p]]]
+        + ([0.0] if nic[p] else [])
+        + ([float(x) for x in lam2[p, :base2[p]]] if lam2 is not None
+           else [])
         for p in range(n_dom)]
     dim_e = int(counts.sum())
     k_max = max(int(counts.max()), 1)
     _vlog(f"columns selected (dim_e={dim_e}, k_max={k_max})")
 
-    # D-weighted coarse basis Z ((7.49) of R1), built on device:
-    # kept prefix columns + the Nicolaides constant in column `base[p]`
-    k_v = w_np.shape[1]
-    if k_v < k_max:
-        v = jnp.concatenate(
-            [v, jnp.zeros((n_dom, n_loc, k_max - k_v), dtype)], axis=-1)
+    # D-weighted coarse basis Z ((7.49) of R1), built on device: per
+    # domain the columns are [tau-kept prefix, Nicolaides constant,
+    # gamma-kept prefix] — matching the generic path's column order
     col = np.arange(k_max)
-    keepm = jnp.asarray(col[None, :] < base[:, None], dtype)
-    nicm = jnp.asarray((col[None, :] == base[:, None]) & nic[:, None],
+
+    def pad_cols(v_):
+        k_v = v_.shape[-1]
+        if k_v < k_max:
+            return jnp.concatenate(
+                [v_, jnp.zeros((n_dom, n_loc, k_max - k_v), dtype)],
+                axis=-1)
+        return v_[:, :, :k_max]
+
+    keepm = jnp.asarray(col[None, :] < base1[:, None], dtype)
+    nicm = jnp.asarray((col[None, :] == base1[:, None]) & nic[:, None],
                        dtype)
-    z = v[:, :, :k_max] * keepm[:, None, :] \
+    z = pad_cols(v1) * keepm[:, None, :] \
         + maskf.reshape(n_dom, n_loc, 1) * nicm[:, None, :]
+    if v2 is not None:
+        lo2 = (base1 + nic)[:, None]
+        idx2 = np.clip(col[None, :] - lo2, 0, max(v2.shape[-1] - 1, 0))
+        m2 = jnp.asarray((col[None, :] >= lo2)
+                         & (col[None, :] < counts[:, None]), dtype)
+        z2 = jnp.take_along_axis(
+            v2, jnp.asarray(idx2)[:, None, :], axis=-1)
+        z = z + z2 * m2[:, None, :]
     z = z.reshape(n_dom, sz, sy, sx, k_max)
     z = z * pou_b[..., None] * maskf[..., None]
     offs = np.zeros(n_dom, np.int64)
@@ -498,8 +726,8 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     # 52/64 columns wrongly pruned at 32^3 where the f64 E is full rank).
     # One-shot cost: a single emulated-f64 stencil apply on k_max columns.
     e_dtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
-    f_e = f_dil if f_dil.kappa.dtype == e_dtype else dataclasses.replace(
-        f_dil, kappa=f_dil.kappa.astype(e_dtype),
+    f_e = f_dil if f_dil.diag.dtype == e_dtype else dataclasses.replace(
+        f_dil, eoff=tuple(e.astype(e_dtype) for e in f_dil.eoff),
         diag=f_dil.diag.astype(e_dtype))
     dirs_dil = lo.dirichlet_stencil(f_e)
     pad_width = [(0, 0)] + [(1, 1) if p else (0, 0)
@@ -513,41 +741,9 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     y_dil = y_dil * f_dil.mask[..., None].astype(e_dtype)
     e = _coarse_e(sd, z.astype(e_dtype), y_dil, counts)
     _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
-    keep = prune_dependent_columns(e, e_dtype)
-    if keep is not None:
-        # prune dependent coarse columns (see the generic path): E becomes
-        # SPD, dim_e shrinks by exactly the dependency count
-        stats.e_pruned = dim_e - keep.size
-        kept_mask = np.zeros(dim_e, bool)
-        kept_mask[keep] = True
-        new_counts = np.array(
-            [int(kept_mask[offs[p]:offs[p] + counts[p]].sum())
-             for p in range(n_dom)], np.int64)
-        new_offs = np.zeros(n_dom, np.int64)
-        np.cumsum(new_counts[:-1], out=new_offs[1:])
-        new_dim_e = int(new_counts.sum())
-        new_k_max = max(int(new_counts.max()), 1)
-        gidx = np.zeros((n_dom, new_k_max), np.int64)
-        colids_np = np.full((n_dom, new_k_max), new_dim_e, np.int32)
-        for p in range(n_dom):
-            js = np.flatnonzero(kept_mask[offs[p]:offs[p] + counts[p]])
-            gidx[p, :js.size] = js
-            colids_np[p, :js.size] = new_offs[p] + np.arange(js.size)
-            stats.eigenvalues[p] = [stats.eigenvalues[p][j] for j in js]
-        colmask = np.arange(new_k_max)[None, :] < new_counts[:, None]
-        z = jnp.take_along_axis(
-            z, jnp.asarray(gidx)[:, None, None, None, :], axis=-1) \
-            * jnp.asarray(colmask, dtype)[:, None, None, None, :]
-        e = e[np.ix_(keep, keep)]
-        stats.real_dim_e = new_counts.copy()
-        counts, offs = new_counts, new_offs
-        dim_e, k_max = new_dim_e, new_k_max
-        colids = jnp.asarray(colids_np)
-        _vlog(f"pruned {stats.e_pruned} dependent coarse columns "
-              f"(dim_e={dim_e})")
-    ev_np, ew_np, stats.e_null = factor_e(e, dtype, e_dtype=e_dtype)
-    e_evecs = jnp.asarray(ev_np, dtype)
-    e_eig_inv = jnp.asarray(1.0 / ew_np, dtype)
+    (z, colids, e_evecs, e_eig_inv, dim_e, k_max,
+     counts) = finalize_coarse(e, z, counts, stats, dtype, e_dtype)
+    _vlog(f"E factored (dim_e={dim_e}, pruned={stats.e_pruned})")
     _t = _mark("l2_e", _t)
 
     pc = StructuredGenEO(
@@ -556,7 +752,7 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
         hybrid=opts.hybrid, eff_hybrid=opts.eff_hybrid, dim_e=dim_e,
         k_max=k_max, gop=gop, l1=l1, pou=pou_b, maskf=maskf, z=z,
         colids=colids, e_evecs=e_evecs, e_eig_inv=e_eig_inv,
-        x0=jnp.zeros(sd.grid.n_nodes, dtype))
+        x0=jnp.zeros(sd.grid.n_nodes, dtype), l1_exact=l1_exact)
     if opts.eff_hybrid and b is not None:
         pc = dataclasses.replace(
             pc, x0=pc.apply_q(jnp.asarray(b, dtype)))

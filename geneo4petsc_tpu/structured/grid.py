@@ -29,12 +29,26 @@ from ..models import _grid
 
 @dataclass
 class StructuredGrid:
-    """Host-side structured problem: grid shape + per-node kappa field."""
+    """Host-side structured problem: grid shape + stencil fields.
+
+    Default construction (the laplacian workload) derives the stencil from
+    the per-node ``kappa`` field: 1-D two-node elements
+    kappa * [[1+eps, -1], [-1, 1+eps]] per axis edge, ghost
+    kappa * (1+eps) on the BC face.  Generalized workloads (heat's
+    lbd*Laplacian + Mass/dt, non-separable coefficient fields) supply the
+    three stencil fields explicitly via ``edge_off_``/``edge_diag_``/
+    ``bc_val_`` — any symmetric operator assembled from per-axis 2-node
+    edge elements with EQUAL endpoint diagonals plus nodal ghosts fits.
+    """
 
     shape: tuple[int, int, int]       # (nx, ny, nz); inactive axes = 1
     kappa: np.ndarray                 # [nz, ny, nx] float64
     inp_eps: float = 0.0001
     dim: int = 3
+    # general stencil fields (None -> derived from kappa, laplacian rules)
+    edge_off_: tuple | None = None    # per axis: A[v, v+e_a] stored at v
+    edge_diag_: tuple | None = None   # per axis: diag add at BOTH endpoints
+    bc_val_: np.ndarray | None = None  # nodal ghost diag add
     _diag: np.ndarray | None = field(default=None, repr=False)
 
     @property
@@ -42,11 +56,17 @@ class StructuredGrid:
         nx, ny, nz = self.shape
         return nx * ny * nz
 
+    @property
+    def is_kappa_stencil(self) -> bool:
+        """True when the stencil is the pure kappa-derived Laplacian —
+        the precondition for the separable FDM fast path (fdm.py)."""
+        return self.edge_off_ is None
+
     # ---------------- stencil fields ----------------
 
     def edge_coeff(self, axis: int) -> np.ndarray:
-        """Coefficient of the edge (v, v + e_axis) stored at v: -off-diag
-        value is kappa(v); zero on the grid's upper face (axis 0 = x)."""
+        """Kappa coefficient of the edge (v, v + e_axis) stored at v
+        (the laplacian-derivation helper); zero on the grid's upper face."""
         c = self.kappa.copy()
         ax = 2 - axis                  # array axis for x/y/z
         n = self.shape[axis]
@@ -56,6 +76,37 @@ class StructuredGrid:
         sl[ax] = slice(n - 1, n)
         c[tuple(sl)] = 0.0
         return c
+
+    def edge_mask(self, axis: int) -> np.ndarray:
+        """1.0 where the edge (v, v + e_axis) exists (upper face zero)."""
+        m = np.ones(self.shape[::-1])
+        n = self.shape[axis]
+        ax = 2 - axis
+        if n == 1:
+            return np.zeros_like(m)
+        sl = [slice(None)] * 3
+        sl[ax] = slice(n - 1, n)
+        m[tuple(sl)] = 0.0
+        return m
+
+    def edge_off(self, axis: int) -> np.ndarray:
+        """Off-diagonal VALUE of the edge (v, v + e_axis) stored at v."""
+        if self.edge_off_ is not None:
+            return self.edge_off_[axis]
+        return -self.edge_coeff(axis)
+
+    def edge_diag(self, axis: int) -> np.ndarray:
+        """Diagonal contribution of the edge stored at v, added to BOTH
+        endpoints (symmetric equal-diagonal edge elements)."""
+        if self.edge_diag_ is not None:
+            return self.edge_diag_[axis]
+        return (1.0 + self.inp_eps) * self.edge_coeff(axis)
+
+    def bc_val(self) -> np.ndarray:
+        """Nodal Dirichlet-ghost diagonal contribution field."""
+        if self.bc_val_ is not None:
+            return self.bc_val_
+        return (1.0 + self.inp_eps) * self.kappa * self.bc_mask()
 
     def bc_mask(self) -> np.ndarray:
         """Boolean [nz, ny, nx]: nodes carrying the Dirichlet ghost element
@@ -71,14 +122,13 @@ class StructuredGrid:
         """Assembled global diagonal [nz, ny, nx] (float64)."""
         if self._diag is not None:
             return self._diag
-        w = 1.0 + self.inp_eps
         d = np.zeros(self.shape[::-1], dtype=np.float64)
         for axis in range(3):
-            c = self.edge_coeff(axis)
+            c = self.edge_diag(axis)
             ax = 2 - axis
-            d += w * c                                   # edge up
-            d += w * np.roll(c, 1, axis=ax) * _not_first(self.shape, axis)
-        d += w * self.kappa * self.bc_mask()
+            d += c                                       # edge up
+            d += np.roll(c, 1, axis=ax) * _not_first(self.shape, axis)
+        d += self.bc_val()
         self._diag = d
         return d
 
@@ -95,15 +145,15 @@ class StructuredGrid:
         for axis in range(3):
             if self.shape[axis] == 1:
                 continue
-            c = self.edge_coeff(axis)
+            c = self.edge_off(axis)
             ax = 2 - axis
             lo = [slice(None)] * 3
             hi = [slice(None)] * 3
             lo[ax] = slice(None, -1)
             hi[ax] = slice(1, None)
             lo, hi = tuple(lo), tuple(hi)
-            y[lo] -= c[lo] * xg[hi]
-            y[hi] -= c[lo] * xg[lo]
+            y[lo] += c[lo] * xg[hi]
+            y[hi] += c[lo] * xg[lo]
         return y.ravel()
 
     def manufactured_rhs(self) -> tuple[np.ndarray, np.ndarray]:
@@ -123,8 +173,8 @@ class GlobalStencil:
     XLA lowers the shifted adds to contiguous-slice fusion, the structured
     replacement for the generic path's gather/segment_sum SpMV).
 
-    diag:  [nz, ny, nx];  coeff[a]: edge (v, v+e_a) coefficient stored at
-    v (upper face zero) — the operator off-diagonal is -coeff."""
+    diag:  [nz, ny, nx];  coeff[a]: off-diagonal VALUE A[v, v+e_a] stored
+    at v (upper face zero)."""
 
     diag: jax.Array
     coeff: tuple
@@ -149,14 +199,14 @@ class GlobalStencil:
             hi[ax] = slice(1, None)
             lo, hi = tuple(lo), tuple(hi)
             cl = ce[lo]
-            y = y.at[lo].add(-cl * xg[hi])
-            y = y.at[hi].add(-cl * xg[lo])
+            y = y.at[lo].add(cl * xg[hi])
+            y = y.at[hi].add(cl * xg[lo])
         return y.reshape(x.shape)
 
 
 def global_stencil(g: StructuredGrid, dtype=jnp.float32) -> GlobalStencil:
     """Stage the assembled operator fields on the default device."""
-    coeff = tuple(jnp.asarray(g.edge_coeff(a), dtype) for a in range(3))
+    coeff = tuple(jnp.asarray(g.edge_off(a), dtype) for a in range(3))
     return GlobalStencil(diag=jnp.asarray(g.diag(), dtype), coeff=coeff,
                          grid_shape=g.shape)
 
@@ -201,5 +251,60 @@ def laplacian_grid(size: int, dim: int = 3, kappa_max: float = 1.0,
     nz = n if dim >= 3 else 1
     kx, ky, kz = profile(nx), profile(ny), profile(nz)
     kappa = kz[:, None, None] * ky[None, :, None] * kx[None, None, :]
+    return StructuredGrid(shape=(nx, ny, nz), kappa=kappa,
+                          inp_eps=inp_eps, dim=dim)
+
+
+def heat_grid(size: int, dim: int = 3, kappa_max: float = 1.0,
+              interp: str = "", inp_eps: float = 0.0001,
+              lbd: float = 1.0, dt: float = 0.1,
+              weak_scaling: int = 1) -> StructuredGrid:
+    """Vectorized equivalent of models/heat.get_input (itself a port of
+    tst/heat/heat.cpp): per-axis edge elements
+    lbd * kappa * [[1+eps, -1], [-1, 1+eps]] + [[1/3, 1/6], [1/6, 1/3]]/dt
+    with the 3-D kappa evaluated at the edge's lower endpoint, ghost
+    lbd * kappa * (1+eps) + (1/3)/dt on the BC face.  The mass term's unit
+    other-axis factors break kappa-separability, so heat runs through the
+    general (non-FDM) structured solvers."""
+    base = laplacian_grid(size, dim=dim, kappa_max=kappa_max, interp=interp,
+                          inp_eps=inp_eps, weak_scaling=weak_scaling)
+    edge_off, edge_diag = [], []
+    for a in range(3):
+        em = base.edge_mask(a)
+        c = base.edge_coeff(a)
+        edge_off.append(-lbd * c + em / (6.0 * dt))
+        edge_diag.append(lbd * (1.0 + inp_eps) * c + em / (3.0 * dt))
+    bc_val = (lbd * (1.0 + inp_eps) * base.kappa
+              + 1.0 / (3.0 * dt)) * base.bc_mask()
+    return StructuredGrid(shape=base.shape, kappa=base.kappa,
+                          inp_eps=inp_eps, dim=dim,
+                          edge_off_=tuple(edge_off),
+                          edge_diag_=tuple(edge_diag), bc_val_=bc_val)
+
+
+def inclusion_grid(size: int, dim: int = 3, kappa_max: float = 1e4,
+                   n_inc: int = 27, inp_eps: float = 0.0001,
+                   seed: int = 7) -> StructuredGrid:
+    """High-contrast NON-SEPARABLE coefficient field: kappa = 1 background
+    with ``n_inc`` spherical inclusions of kappa_max at deterministic
+    pseudo-random centers.  Spheres are not axis-aligned products, so
+    kappa(x,y,z) != kx*ky*kz — this is the BASELINE #5 "elasticity-style"
+    scalar stand-in that the separable FDM fast path cannot factor
+    (fdm._axis_profiles raises); it exercises the general inexact local
+    solvers at scale."""
+    nx = size
+    ny = size if dim >= 2 else 1
+    nz = size if dim >= 3 else 1
+    rng = np.random.default_rng(seed)
+    kappa = np.ones((nz, ny, nx))
+    zz, yy, xx = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                             indexing="ij")
+    r = max(size // 10, 1)
+    for _ in range(n_inc):
+        cx = rng.integers(0, nx)
+        cy = rng.integers(0, ny) if ny > 1 else 0
+        cz = rng.integers(0, nz) if nz > 1 else 0
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2 + (zz - cz) ** 2
+        kappa[d2 <= r * r] = kappa_max
     return StructuredGrid(shape=(nx, ny, nz), kappa=kappa,
                           inp_eps=inp_eps, dim=dim)

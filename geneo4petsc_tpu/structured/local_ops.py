@@ -71,22 +71,23 @@ class LocalStencil:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["kappa", "diag", "mult", "emult", "mask", "bc"],
-         meta_fields=["grid_shape", "dom_grid", "pad", "inp_eps"])
+         data_fields=["eoff", "ediag", "bcv", "diag", "mult", "emult",
+                      "mask"],
+         meta_fields=["grid_shape", "dom_grid", "pad"])
 @dataclass(frozen=True)
 class LocalFields:
     """Halo-gathered per-domain raw fields ([n_dom, lz, ly, lx] each)."""
 
-    kappa: jax.Array
+    eoff: tuple              # per-axis edge off-diagonal VALUE at v
+    ediag: tuple             # per-axis edge diag add (both endpoints)
+    bcv: jax.Array           # nodal Dirichlet-ghost diag add
     diag: jax.Array          # assembled global diagonal
     mult: jax.Array          # node multiplicity (float)
     emult: tuple             # per-axis edge multiplicity (float, 0 absent)
     mask: jax.Array          # bool: real grid node
-    bc: jax.Array            # bool: node carries the Dirichlet ghost
     grid_shape: tuple
     dom_grid: tuple
     pad: tuple
-    inp_eps: float
 
 
 def gather_fields(sd: StructuredDecomposition, dtype=jnp.float32,
@@ -104,16 +105,16 @@ def gather_fields(sd: StructuredDecomposition, dtype=jnp.float32,
         return halo.to_batch(halo.halo_gather(a, g.shape, sd.dom_grid,
                                               pad))
 
-    kappa = up(g.kappa)
+    eoff = tuple(up(g.edge_off(a)) for a in range(3))
+    ediag = tuple(up(g.edge_diag(a)) for a in range(3))
+    bcv = up(g.bc_val())
     diag = up(g.diag())
     mult = up(sd.node_mult().astype(np.float64))
     emult = tuple(up(sd.edge_mult(a).astype(np.float64)) for a in range(3))
     mask = up(np.ones(g.n_nodes)) > 0
-    bc = up(g.bc_mask().astype(np.float64)) > 0
-    return LocalFields(kappa=kappa, diag=diag, mult=mult, emult=emult,
-                       mask=mask, bc=bc, grid_shape=g.shape,
-                       dom_grid=sd.dom_grid, pad=pad,
-                       inp_eps=g.inp_eps)
+    return LocalFields(eoff=eoff, ediag=ediag, bcv=bcv, diag=diag,
+                       mult=mult, emult=emult, mask=mask,
+                       grid_shape=g.shape, dom_grid=sd.dom_grid, pad=pad)
 
 
 def slice_inner(f: LocalFields, sd: StructuredDecomposition) -> LocalFields:
@@ -127,12 +128,14 @@ def slice_inner(f: LocalFields, sd: StructuredDecomposition) -> LocalFields:
     def cut(x):
         return x[sl]
 
-    return LocalFields(kappa=cut(f.kappa), diag=cut(f.diag),
+    return LocalFields(eoff=tuple(cut(e) for e in f.eoff),
+                       ediag=tuple(cut(e) for e in f.ediag),
+                       bcv=cut(f.bcv), diag=cut(f.diag),
                        mult=cut(f.mult),
                        emult=tuple(cut(e) for e in f.emult),
-                       mask=cut(f.mask), bc=cut(f.bc),
+                       mask=cut(f.mask),
                        grid_shape=f.grid_shape, dom_grid=f.dom_grid,
-                       pad=sd.pad, inp_eps=f.inp_eps)
+                       pad=sd.pad)
 
 
 def _edge_ok(mask: jax.Array, a: int):
@@ -149,26 +152,26 @@ def _edge_ok(mask: jax.Array, a: int):
 
 def neumann_stencil(f: LocalFields) -> LocalStencil:
     """Weighted local Neumann operator (the MatIS local block)."""
-    w = 1.0 + f.inp_eps
-    diag = jnp.zeros_like(f.kappa)
+    diag = jnp.zeros_like(f.diag)
     offs = []
     for a in range(3):
         lo, hi, ok = _edge_ok(f.mask, a)
-        if f.kappa.shape[3 - a] == 1:
-            offs.append(jnp.zeros_like(f.kappa))
+        if f.diag.shape[3 - a] == 1:
+            offs.append(jnp.zeros_like(f.diag))
             continue
-        # edge coefficient / its membership weight; emult >= 1 wherever
-        # the edge exists (overlap >= 1 covers every edge)
-        ce = jnp.where(ok & (f.emult[a][lo] > 0),
-                       f.kappa[lo] / jnp.maximum(f.emult[a][lo], 1.0), 0.0)
-        off = jnp.zeros_like(f.kappa)
-        off = off.at[lo].set(-ce)
+        # edge element / its membership weight; emult >= 1 wherever the
+        # edge exists (overlap >= 1 covers every edge)
+        wgt = jnp.where(ok & (f.emult[a][lo] > 0),
+                        1.0 / jnp.maximum(f.emult[a][lo], 1.0), 0.0)
+        off = jnp.zeros_like(f.diag)
+        off = off.at[lo].set(wgt * f.eoff[a][lo])
         offs.append(off)
-        diag = diag.at[lo].add(w * ce)
-        diag = diag.at[hi].add(w * ce)
+        cd = wgt * f.ediag[a][lo]
+        diag = diag.at[lo].add(cd)
+        diag = diag.at[hi].add(cd)
     # Dirichlet ghost elements: weight 1/node_mult (they belong to every
     # domain containing the node)
-    diag = diag + jnp.where(f.bc, w * f.kappa / f.mult, 0.0)
+    diag = diag + f.bcv / jnp.maximum(f.mult, 1.0)
     diag = jnp.where(f.mask, diag, 1.0)       # pad identity
     return LocalStencil(diag=diag, offs=tuple(offs))
 
@@ -178,11 +181,11 @@ def dirichlet_stencil(f: LocalFields) -> LocalStencil:
     offs = []
     for a in range(3):
         lo, hi, ok = _edge_ok(f.mask, a)
-        if f.kappa.shape[3 - a] == 1:
-            offs.append(jnp.zeros_like(f.kappa))
+        if f.diag.shape[3 - a] == 1:
+            offs.append(jnp.zeros_like(f.diag))
             continue
-        off = jnp.zeros_like(f.kappa)
-        off = off.at[lo].set(jnp.where(ok, -f.kappa[lo], 0.0))
+        off = jnp.zeros_like(f.diag)
+        off = off.at[lo].set(jnp.where(ok, f.eoff[a][lo], 0.0))
         offs.append(off)
     diag = jnp.where(f.mask, f.diag, 1.0)
     return LocalStencil(diag=diag, offs=tuple(offs))
@@ -198,7 +201,7 @@ def robin_stencil(f: LocalFields, optim: float) -> LocalStencil:
     offs = []
     for a in range(3):
         lo, hi, _ = _edge_ok(f.mask, a)
-        if f.kappa.shape[3 - a] == 1:
+        if f.diag.shape[3 - a] == 1:
             offs.append(dir_.offs[a])
             continue
         sel = jnp.zeros_like(border)

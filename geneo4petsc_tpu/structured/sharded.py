@@ -24,7 +24,14 @@ shifts lower to `CollectivePermute` neighbor hops over ICI, the coarse
 hand-written collective calls — the sharding annotations ARE the
 communication model (pick a mesh, annotate, let XLA insert collectives).
 
-Requires nz % n_devices == 0 and gz % n_devices == 0 (slab alignment).
+Requires nz % n_devices == 0 (vector slab alignment) and
+n_dom % n_devices == 0 (equal contiguous domain chunks).  When gz is
+divisible too, domain chunks coincide with vector slabs and the halo is
+pure neighbor traffic; otherwise (e.g. the 216^3 / 4x4x4 headline bench
+on 8 devices: gz = 4) the z-major domain chunks span (pz, py) blocks and
+XLA inserts the extra resharding collectives between the slab-sharded
+vectors and the chunk-sharded batch — correct on any mesh size, neighbor-
+optimal on aligned ones.
 """
 
 from __future__ import annotations
@@ -68,12 +75,14 @@ def shard_structured(pc: StructuredGenEO, mesh: Mesh, axis: str = "dz"):
     n_dev = mesh.shape[axis]
     nx, ny, nz = pc.grid_shape
     gx, gy, gz = pc.dom_grid
-    if nz % n_dev or gz % n_dev:
+    n_dom = gx * gy * gz
+    if nz % n_dev or n_dom % n_dev:
         raise ValueError(
-            f"z extents (nz={nz}, gz={gz}) must divide the mesh size "
-            f"{n_dev} for slab sharding")
+            f"nz={nz} (vector slabs) and n_dom={n_dom} (domain chunks) "
+            f"must divide the mesh size {n_dev}")
 
     dom = _grid_sharding(mesh, axis)      # leading-dim shard
+    dom1 = NamedSharding(mesh, P(None, axis))   # dim-1 shard (BT factors)
     repl = NamedSharding(mesh, P())
 
     def put(x, s):
@@ -81,9 +90,18 @@ def shard_structured(pc: StructuredGenEO, mesh: Mesh, axis: str = "dz"):
 
     def put_tree(tree, s):
         """Shard leading-dim-divisible leaves; replicate scalars (e.g.
-        the FDM shift)."""
+        the FDM shift).  Block-tridiag factors batch domains on dim 1
+        (plane-major scan layout, block_tridiag.BlockTridiagFactor) —
+        shard those on dim 1 instead."""
+        from .solvers import BTSolver
+        bt_dim1 = isinstance(tree, BTSolver)
+
         def one(a):
-            ok = getattr(a, "ndim", 0) >= 1 and a.shape[0] % n_dev == 0
+            nd = getattr(a, "ndim", 0)
+            if bt_dim1:
+                ok = nd >= 2 and a.shape[1] % n_dev == 0
+                return jax.device_put(a, dom1 if ok else repl)
+            ok = nd >= 1 and a.shape[0] % n_dev == 0
             return jax.device_put(a, s if ok else repl)
         return jax.tree_util.tree_map(one, tree)
 

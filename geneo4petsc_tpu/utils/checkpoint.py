@@ -87,3 +87,32 @@ def load_pc(path: str) -> GenEOPreconditioner:
         z_loc=arr("pc.z_loc"), colids=arr("pc.colids"),
         e_evecs=arr("pc.e_evecs"), e_eig_inv=arr("pc.e_eig_inv"),
         x0=arr("pc.x0"))
+
+
+# ---------------- structured / elastic setup products ----------------
+#
+# The structured backends' preconditioners are registered frozen
+# dataclasses whose leaves are arrays (FDM factors, block-tridiag W
+# blocks, stencil fields, Z, the coarse factorization), so the whole
+# setup product round-trips through pickle with array leaves lowered to
+# host numpy — at 10M DOF the saved LOBPCG/E work is minutes
+# (SURVEY.md §5.4: caching the expensive setup products is the designed
+# extension beyond the reference's dump-only PetscViewer artifacts).
+
+def save_setup_tree(path: str, pc) -> None:
+    import pickle
+
+    host = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, pc)
+    with open(path, "wb") as f:
+        pickle.dump(host, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_setup_tree(path: str):
+    import pickle
+
+    with open(path, "rb") as f:
+        host = pickle.load(f)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+        host)

@@ -158,12 +158,21 @@ def test_structured_solve_driver_to_1e8():
                                atol=1e-6 * np.abs(x_true).max())
 
 
-def test_structured_rejects_unsupported():
+def test_structured_accepts_full_pc_family():
+    """Round 3: ORAS/SORAS and GenEO-2 run on the structured backend
+    (general solvers) — the old rejections are gone.  Full parity rows
+    live in tests/test_structured_general.py."""
     g, sd, _ = _setup(8, 2, (2, 2, 1), 1)
-    with pytest.raises(ValueError, match="generic path"):
-        sg.setup_structured(sd, _opts("SORAS,0"))
-    with pytest.raises(ValueError, match="generic path"):
-        sg.setup_structured(sd, _opts("ASM,2"))
+    x_true, b = g.manufactured_rhs()
+    import jax.numpy as jnp
+    for lvl in ("SORAS,0", "ASM,2"):
+        o = _opts(lvl)
+        o.optim = 1.0
+        pc, _stats = sg.setup_structured(sd, o, b=jnp.asarray(b),
+                                         dtype=jnp.float64)
+        res = cg_solve(pc.matvec, jnp.asarray(b), pc.apply, rtol=1e-8,
+                       flexible=not pc.l1_exact)
+        assert int(res.reason) > 0
 
 
 def test_device_refine_matches_host_refine():

@@ -53,7 +53,13 @@ def run_workload(wl: str, update: bool, full: bool = False) -> int:
 
     buf = io.StringIO()
     argv = sys.argv
-    sys.argv = ["plot.py", out_dir]
+    # full mode mirrors the reference's headline plot invocation
+    # (laplacianPlot.sh #1: -fi "metis=dual" "ksp=gmres"), so the pinned
+    # surface listing is the reference's 58-surface set (modulo the
+    # honest mumps->cholesky / arpack->eigh solver tokens —
+    # tests/test_sweep_parity.py asserts that equivalence)
+    sys.argv = ["plot.py", out_dir] + \
+        (["-fi", "metis=dual", "ksp=gmres"] if full else [])
     try:
         with redirect_stdout(buf):
             plot_mod.main()

@@ -96,9 +96,50 @@ def run_matrix() -> dict:
     return results
 
 
+# structured-backend pins (round 3): the scale path is regression-pinned
+# through the CLI's --structured route, covering the exact-FDM separable
+# configs, the general block-tridiag configs (ORAS/SORAS + GenEO-2,
+# heat's mass term), and efficient/hybrid variants
+STRUCTURED_PCS = {
+    "laplacian": ["ASM,0", "ASM,1", "ASM,H1", "ASM,E1", "SRAS,1",
+                  "SORAS,0", "SORAS,2", "SORAS,H2", "SORAS,E2"],
+    "heat": ["ASM,1", "SRAS,1", "SORAS,2"],
+}
+
+
+def run_structured_matrix() -> dict:
+    results: dict[str, dict] = {}
+    for wl, pcs in STRUCTURED_PCS.items():
+        for lvl in pcs:
+            name = f"structured-{wl}-dg=2,2,1-pc={lvl.replace(',', '')}"
+            args = ["--inpLibA", wl,
+                    "--inpLibArg", "--size#12#--dim#3#--kappa#1000.#minmax",
+                    "--structured", "2,2,1", "--addOverlap", "2",
+                    "-pc_type", "geneo", "-geneo_lvl", lvl,
+                    "-ksp_type", "cg", "-ksp_rtol", "1.e-08"]
+            if "SORAS" in lvl:
+                args += ["-geneo_optim", "1.0"]
+            buf = io.StringIO()
+            rc = cli.run(args, out=buf)
+            log = buf.getvalue()
+            m = _RE_SOLVE.search(log)
+            if rc != 0 or m is None or m.group(1) != "converged":
+                print(f"ERROR: {name} did not converge:\n{log}",
+                      file=sys.stderr)
+                raise SystemExit(1)
+            rec = {"its": int(m.group(2))}
+            md = _RE_DIME.search(log)
+            if md is not None:
+                rec["dim_e"] = int(md.group(1))
+                rec["nicolaides"] = int(md.group(2))
+            results[name] = rec
+    return results
+
+
 def main() -> int:
     update = "--update" in sys.argv
     got = run_matrix()
+    got.update(run_structured_matrix())
     if update:
         with open(GOLDEN, "w") as f:
             json.dump(got, f, indent=1, sort_keys=True)

@@ -90,15 +90,47 @@ def measure_structured(size, gz, shards):
     return grid.n_nodes, rows
 
 
+def measure_bench_shape(size, shards):
+    """The HEADLINE bench decomposition shape (4x4x4 domain grid — gz
+    does NOT divide 8 devices): the generalized sharding rule
+    (nz % n_dev, n_dom % n_dev) that round 2's z-slab constraint
+    rejected."""
+    from geneo4petsc_tpu.structured.decompose import StructuredDecomposition
+    from geneo4petsc_tpu.structured.geneo import setup_structured
+    from geneo4petsc_tpu.structured.grid import laplacian_grid
+    from geneo4petsc_tpu.structured.sharded import (make_mesh,
+                                                    shard_structured)
+
+    grid = laplacian_grid(size, dim=3, kappa_max=100.0, interp="minmax")
+    sd = StructuredDecomposition(grid, (4, 4, 4), 2)
+    opts = GenEOOptions()
+    opts.lvl1, opts.lvl2 = "ASM", "1"
+    pc, _ = setup_structured(sd, opts, dtype=jnp.float32)
+    _xt, b = grid.manufactured_rhs()
+    b32 = np.asarray(b, np.float32)
+    rows = []
+    for n_dev in shards:
+        mesh = make_mesh(n_dev)
+        mv, ap, _pc_sh, shard_vec = shard_structured(pc, mesh)
+        bs = shard_vec(b32)
+        rows.append((n_dev, timeit(mv, bs), timeit(ap, bs)))
+    return grid.n_nodes, rows
+
+
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n1, gen = measure_generic(size * 4, 64, [1, 8])
     n2, st = measure_structured(size, 8, [1, 8])
+    n3, bh = measure_bench_shape(size, [1, 8])
     print(f"generic (2D {n1} DOF, 64 domains, replicated + psum):")
     for n_dev, mv, ap in gen:
         print(f"  shards={n_dev}: matvec {mv:7.2f} ms  pc-apply {ap:7.2f} ms")
     print(f"structured (3D {n2} DOF, 32 domains, z-slab + collective-permute):")
     for n_dev, mv, ap in st:
+        print(f"  shards={n_dev}: matvec {mv:7.2f} ms  pc-apply {ap:7.2f} ms")
+    print(f"bench shape (3D {n3} DOF, 4x4x4 domains, generalized "
+          "misaligned sharding):")
+    for n_dev, mv, ap in bh:
         print(f"  shards={n_dev}: matvec {mv:7.2f} ms  pc-apply {ap:7.2f} ms")
 
 

@@ -130,6 +130,13 @@ def main():
     ap.add_argument("--plot", default=None)
     ap.add_argument("--metric", default="nbIt",
                     choices=["nbIt", "solve", "dimE"])
+    # reference plot.py filter flags (tst/laplacian/laplacianPlot.sh):
+    # -fi: keep surfaces containing ALL of these substrings;
+    # -fe: drop surfaces containing ANY of these substrings;
+    # -pc: fnmatch pattern the pc= token must match
+    ap.add_argument("-fi", nargs="*", default=[])
+    ap.add_argument("-fe", nargs="*", default=[])
+    ap.add_argument("-pc", default=None)
     a = ap.parse_args()
 
     logs = sorted(glob.glob(os.path.join(a.logdir, "*.log")))
@@ -143,6 +150,19 @@ def main():
         n = sum(1 for r in runs if r.size == s)
         print(f"Info: {n} file(s) named *size={s}*.log")
 
+    def keep(r):
+        s = r.surface
+        if any(f not in s for f in a.fi):
+            return False
+        if any(f in s for f in a.fe):
+            return False
+        if a.pc is not None:
+            import fnmatch
+            if not fnmatch.fnmatch(r.pc, a.pc):
+                return False
+        return True
+
+    runs = [r for r in runs if keep(r)]
     strong = [r for r in runs if r.ws == 1]
     weak = [r for r in runs if r.ws > 1 or
             (r.ws == 1 and r.np_ == 1 and any(

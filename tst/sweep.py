@@ -93,11 +93,18 @@ def run_sweep(workload: str, scaling: str, out_dir: str, full: bool) -> int:
     nps = [1, 2]  # the reference pins np to {1, 2} too (STRONG_MPI="01 02")
     tols = ["1.e-05"] if not full else ["1.e-04", "1.e-05"]
     metis = ["--metisDual", "--metisNodal"]
-    # --full reproduces the reference's EXACT 21-config matrix
-    # (laplacianRun.sh:31-51) => 464 logs per scaling, 928 per workload
-    # (the count asserted by laplacianTest.sh:16-19); the mg comparison PC
-    # is our extension and stays in the reduced matrix only
-    pcs = [p for p in PC_MATRIX if "mg" not in p] if full else REDUCED_PCS
+    # --full reproduces the reference's 22-entry PC matrix
+    # (laplacianRun.sh:31-51, incl. mg with its MG_OPT W-cycle options)
+    # => 58 configs per (metis, np, tol) cell, 464 logs per scaling,
+    # 928 per workload (the count asserted by laplacianTest.sh:16-19).
+    # Two reference quirks are reproduced deliberately:
+    #   * geneo-0 entries (ASM,0 / SORAS,0) take NO optim/tau/gamma loop
+    #     (the OPT_ARRAY geneo-0 branch passes only the dls solver);
+    #   * the bash pattern [[ "$p" == *"geneo"*"1"* ]] also matches the
+    #     "--addOverlap#1" suffix, so overlap-1 GenEO-2 entries run with
+    #     gamma STRIPPED (default 10.) — the gamma=10.00 overlap=1
+    #     surfaces frozen in laplacianPlot.ref.
+    pcs = PC_MATRIX if full else REDUCED_PCS
     taugamma = ([("0.1", "8."), ("0.2", "12.")] if full
                 else [("0.1", "8.")])
     optims = (["0.00", "0.02"] if full else ["0.00"])
@@ -110,19 +117,23 @@ def run_sweep(workload: str, scaling: str, out_dir: str, full: bool) -> int:
             m_log = "dual" if m == "--metisDual" else "nodal"
             for tol in tols:
                 for pc in pcs:
-                    soras = "SORAS" in pc
                     lvl2 = any(x in pc for x in (",1", ",2", "H1", "H2",
                                                  "E1", "E2"))
+                    soras = "SORAS" in pc and lvl2   # geneo-0: no optim loop
+                    # the reference's *"geneo"*"1"* pattern quirk: any "1"
+                    # after "geneo" (incl. addOverlap 1) strips gamma
+                    strip_gamma = lvl2 and "1" in pc.split("geneo", 1)[-1]
                     tg_list = taugamma if lvl2 else [("0.1", "8.")][:1]
                     op_list = optims if soras else ["0.00"]
                     for tau, gamma in (tg_list if lvl2 else [("0.1", "8.")]):
                         for optim in op_list:
+                            g_eff = "10." if strip_gamma else gamma
                             name = (f"{workload}-ws={ws}-size={size}"
                                     f"-np={np_}-tol={tol}"
                                     f"-pc={pc_log_name(pc)}"
                                     f"-metis={m_log}")
                             if lvl2:
-                                name += f"-tau={tau}-gamma={gamma}"
+                                name += f"-tau={tau}-gamma={g_eff}"
                             if soras:
                                 name += f"-optim={optim}"
                             o = opt_log_name(pc)
@@ -136,9 +147,15 @@ def run_sweep(workload: str, scaling: str, out_dir: str, full: bool) -> int:
                                     "-ksp_gmres_restart", "1000",
                                     "--timing"]
                             args += pc.replace("##", "#").strip("#").split("#")
+                            if "mg" in pc:
+                                # MG_OPT (laplacianRun.sh): W cycle, 5/5
+                                args += ["-pc_mg_cycle_type", "w",
+                                         "-pc_mg_smoothup", "5",
+                                         "-pc_mg_smoothdown", "5"]
                             if lvl2:
-                                args += ["-geneo_tau", tau,
-                                         "-geneo_gamma", gamma]
+                                args += ["-geneo_tau", tau]
+                                if not strip_gamma:
+                                    args += ["-geneo_gamma", gamma]
                             if soras:
                                 args += ["-geneo_optim", optim]
                             buf = io.StringIO()
