@@ -134,8 +134,12 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
         ax = a_op(x)
         lam = jnp.einsum("dnm,dnm->dm", x, ax)
         r = ax - bx * lam[:, None, :]
-        # relative residual of the CURRENT block (free: r is needed anyway)
-        scale = jnp.linalg.norm(ax, axis=1) + jnp.abs(lam) * \
+        # relative residual of the CURRENT block (free: r is needed
+        # anyway).  The ||Bx|| term keeps the scale meaningful for exact
+        # null pairs (lambda ~ 0, Ax ~ 0): without it res degenerates to
+        # ||Ax||/||Ax|| = 1 and the tol exit can never fire on pencils
+        # with rigid-body kernels (elasticity)
+        scale = jnp.linalg.norm(ax, axis=1) + (jnp.abs(lam) + 1.0) * \
             jnp.linalg.norm(bx, axis=1) + jnp.finfo(dtype).tiny
         res = jnp.max(jnp.linalg.norm(r, axis=1) / scale)
         w = t_op(r)
@@ -190,7 +194,7 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
     bv = b_op(v)
     r = av - bv * theta[:, None, :]
     rn = jnp.linalg.norm(r, axis=1)
-    scale = jnp.linalg.norm(av, axis=1) + jnp.abs(theta) * \
+    scale = jnp.linalg.norm(av, axis=1) + (jnp.abs(theta) + 1.0) * \
         jnp.linalg.norm(bv, axis=1) + jnp.finfo(dtype).tiny
     return theta, v, rn / scale
 
@@ -293,7 +297,7 @@ def batched_lobpcg(a: jax.Array, b: jax.Array, k: int,
     bv = jnp.einsum("dij,djm->dim", b, v, preferred_element_type=dtype)
     r = av - bv * theta[:, None, :]
     rn = jnp.linalg.norm(r, axis=1)
-    scale = jnp.linalg.norm(av, axis=1) + jnp.abs(theta) * \
+    scale = jnp.linalg.norm(av, axis=1) + (jnp.abs(theta) + 1.0) * \
         jnp.linalg.norm(bv, axis=1) + jnp.finfo(dtype).tiny
     del tol
     return theta, v, rn / scale

@@ -105,6 +105,46 @@ def bt_factor(diag_p: jax.Array, inplane, c: jax.Array,
     return BlockTridiagFactor(w=w_all, c=jnp.moveaxis(c, 1, 0))
 
 
+def bt_inertia(diag_p: jax.Array, inplane, c: jax.Array) -> jax.Array:
+    """Negative-eigenvalue count of a batched block-tridiagonal operator
+    via the plane Schur recursion — Sylvester's law gives
+    inertia(A) = sum_i inertia(S_i) (the MatGetInertia role,
+    src/geneo.cpp:452-500: the reference runs an LDL^T through MUMPS and
+    reads the negative count to size ARPACK's nev).
+
+    Same plane inputs as bt_factor, but the operator may be INDEFINITE
+    (it is A - theta*B): each Schur complement is eigendecomposed, the
+    negative eigenvalues counted, and its inverse carried through the
+    recursion as V diag(1/w) V^T.  Returns [n_dom] int32 counts.
+    """
+    n_dom, p, s2 = diag_p.shape
+    dtype = diag_p.dtype
+    strides = tuple(st for _, st in inplane)
+    coeffs = jnp.stack([cf for cf, _ in inplane], axis=0) \
+        if inplane else jnp.zeros((0, n_dom, p, s2), dtype)
+    c_in = jnp.concatenate([jnp.zeros((n_dom, 1, s2), dtype), c], axis=1)
+
+    def step(carry, inputs):
+        w_prev, neg = carry
+        diag_row, inrows, c_prev = inputs
+        d = _assemble_plane(diag_row, inrows, strides, s2)
+        s = d - (c_prev[:, :, None] * c_prev[:, None, :]) * w_prev
+        s = 0.5 * (s + jnp.swapaxes(s, -1, -2))
+        w, v = jnp.linalg.eigh(s)
+        neg = neg + jnp.sum(w < 0, axis=-1).astype(jnp.int32)
+        safe = jnp.where(jnp.abs(w) > jnp.finfo(dtype).tiny, w, 1.0)
+        s_inv = jnp.einsum("dij,dj,dkj->dik", v, 1.0 / safe, v)
+        return (s_inv, neg), None
+
+    xs = (jnp.moveaxis(diag_p, 1, 0),
+          jnp.moveaxis(coeffs, 2, 0),
+          jnp.moveaxis(c_in, 1, 0))
+    w0 = jnp.zeros((n_dom, s2, s2), dtype)
+    (_w, neg), _ = jax.lax.scan(step, (w0, jnp.zeros(n_dom, jnp.int32)),
+                                xs)
+    return neg
+
+
 def bt_solve(fac: BlockTridiagFactor, x: jax.Array) -> jax.Array:
     """Solve A u = x; x: [n_dom, P, s2] or [n_dom, P, s2, k]."""
     squeeze = x.ndim == 3

@@ -204,8 +204,12 @@ def _cell_apply(k0, cw, x):
     xc = jnp.stack([cut(x, dx, dy, dz) for dx, dy, dz in _CORNERS],
                    axis=lead + 3)                   # [..., c*, 8, 3, m]
     v = xc.reshape(xc.shape[:lead + 3] + (24, x.shape[-1]))
+    # precision="highest": the TPU MXU's default bf16 passes leave ~1e-3
+    # relative error in the f32 element matmul — enough to trip CG's
+    # indefiniteness guards (measured: 1.9e-3 matvec error, inner CG
+    # exits after 0-4 iterations); the 6-pass product restores true f32
     w = jnp.einsum("ij,...jm->...im", k0, v,
-                   preferred_element_type=x.dtype)
+                   preferred_element_type=x.dtype, precision="highest")
     w = w * cw[..., None, None]
     w = w.reshape(w.shape[:lead + 3] + (8, 3, x.shape[-1]))
     y = jnp.zeros_like(x)
@@ -241,7 +245,24 @@ class ElasticOp:
         xg = x.reshape((nz, ny, nx, 3) + trailing)
 
         def go(v):
-            y = _cell_apply(self.k0, self.e_cell, v)
+            # z-slab the cell sum when the gather/matmul temporaries
+            # would not fit HBM (the 152^3 f64 emulated apply allocates
+            # ~16 GB unchunked); each node row is touched by <= 2 slabs
+            m = v.shape[-1]
+            cz = nz - 1
+            est = cz * (ny - 1) * (nx - 1) * 24 * m \
+                * jnp.dtype(v.dtype).itemsize * 10
+            n_chunks = int(np.clip(-(-est // int(4e9)), 1, max(cz, 1)))
+            if n_chunks <= 1:
+                y = _cell_apply(self.k0, self.e_cell, v)
+            else:
+                y = jnp.zeros_like(v)
+                step = -(-cz // n_chunks)
+                for z0 in range(0, cz, step):
+                    z1 = min(z0 + step, cz)
+                    ys = _cell_apply(self.k0, self.e_cell[z0:z1],
+                                     v[z0:z1 + 1])
+                    y = y.at[z0:z1 + 1].add(ys)
             return y + self.bc[..., None, None] * v
 
         return _with_cols(go, xg, bool(trailing)).reshape(x.shape)
@@ -532,8 +553,16 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
 
     def _vlog(msg):
         if _dbg:
-            print(f"[esetup {_time.perf_counter() - _t0:7.2f}s] {msg}",
-                  file=_sys.stderr, flush=True)
+            mem = ""
+            try:
+                st_ = jax.devices()[0].memory_stats()
+                if st_:
+                    mem = (f" [dev {st_.get('bytes_in_use', 0) / 1e9:.2f}"
+                           f"/{st_.get('bytes_limit', 0) / 1e9:.2f} GB]")
+            except Exception:
+                pass
+            print(f"[esetup {_time.perf_counter() - _t0:7.2f}s] "
+                  f"{msg}{mem}", file=_sys.stderr, flush=True)
 
     def _mark(name, t0):
         if timers is not None:
@@ -600,8 +629,9 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
                         optim=jnp.asarray(opts.optim, dtype))
     else:
         l1_op = dir_wrap
-    maskf3 = jnp.broadcast_to(maskf[..., None].astype(dtype),
-                              maskf.shape + (3,))
+    # 1-wide component axis: broadcasting inside the solvers replaces a
+    # materialized [d, wz, wy, wx, 3] mask (455 MB at the 10M bench)
+    maskf3 = maskf[..., None].astype(dtype)
     pre_l1 = VecFDM(_scalar_surrogate(g, cw_inner, bc_dir, maskf,
                                       0.0, dtype))
     l1 = solvers.PCGSolver(st=l1_op, pre=pre_l1, maskf=maskf3,
@@ -635,27 +665,109 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
         if opts.els2.max_it < 10000 else 100
     box = (n_dom, sz, sy, sx, 3, -1)
     flat = (n_dom, n_loc3, -1)
-    maskc = maskf3.reshape(n_dom, n_loc3)
+    maskc = jnp.broadcast_to(
+        maskf[..., None].astype(dtype),
+        maskf.shape + (3,)).reshape(n_dom, n_loc3)
+
+    def _rigid_block():
+        """[1, n_loc3, 6] — the six rigid-body modes (3 translations +
+        3 rotations about the window center) in the local frame.  They
+        are EXACT null vectors of floating Neumann blocks (K0 annihilates
+        linearized rigid fields), so seeding the LOBPCG search block with
+        them locks the near-kernel instantly — the elasticity
+        near-nullspace discipline; a generic random block needs many
+        iterations to dig these out through a scalar surrogate
+        preconditioner (measured: kept-pair residuals ~1 at 60 its)."""
+        zz = np.arange(sz) - (sz - 1) / 2.0
+        yy = np.arange(sy) - (sy - 1) / 2.0
+        xx = np.arange(sx) - (sx - 1) / 2.0
+        z3, y3, x3 = np.meshgrid(zz, yy, xx, indexing="ij")
+        scale = max(sx, sy, sz)
+        z3, y3, x3 = z3 / scale, y3 / scale, x3 / scale
+        cols = np.zeros((sz, sy, sx, 3, 6))
+        cols[..., 0, 0] = 1.0                          # t_x
+        cols[..., 1, 1] = 1.0                          # t_y
+        cols[..., 2, 2] = 1.0                          # t_z
+        cols[..., 0, 3], cols[..., 1, 3] = -y3, x3     # r_z
+        cols[..., 1, 4], cols[..., 2, 4] = -z3, y3     # r_x
+        cols[..., 0, 5], cols[..., 2, 5] = z3, -x3     # r_y
+        return jnp.asarray(cols.reshape(1, n_loc3, 6), dtype)
+
+    rigid0 = _rigid_block()
 
     @partial(jax.jit, static_argnames=("k",))
-    def run_lobpcg(neu_, bdad_, tsur_, maskc_, k, x0_prev=None):
+    def run_lobpcg(neu_, bdad_, tsur_, maskc_, rigid_, k, x0_prev=None):
+        # batch size from the (possibly chunk-sliced) arguments
+        dd = maskc_.shape[0]
+        boxc = (dd,) + box[1:]
+        flatc = (dd,) + flat[1:]
+
         def a_op(v):
-            return neu_.matvec(v.reshape(box)).reshape(flat)
+            return neu_.matvec(v.reshape(boxc)).reshape(flatc)
 
         def b_op(v):
-            return bdad_.matvec(v.reshape(box)).reshape(flat)
+            return bdad_.matvec(v.reshape(boxc)).reshape(flatc)
 
         def t_op(v):
-            w = tsur_.solve(v.reshape(box))
-            return w.reshape(flat) * maskc_[..., None]
+            w = tsur_.solve(v.reshape(boxc))
+            return w.reshape(flatc) * maskc_[..., None]
 
+        d = maskc_.shape[0]          # chunked batch size
         x0 = jax.random.normal(jax.random.PRNGKey(0),
-                               (n_dom, n_loc3, k), dtype)
+                               (d, n_loc3, k), dtype)
         x0 = t_op(x0 * maskc_[..., None])
+        nr = min(6, k)
+        x0 = x0.at[..., :nr].set(
+            jnp.broadcast_to(rigid_[..., :nr],
+                             (d, n_loc3, nr)) * maskc_[..., None])
         if x0_prev is not None:
             x0 = x0.at[..., :x0_prev.shape[-1]].set(x0_prev)
         return matfree_lobpcg(a_op, b_op, t_op, x0, max_it=max_it,
                               tol=float(opts.els2.rtol))
+
+    # chunk the domain batch to a device-memory budget: the dilated cell
+    # gathers cost ~8 * n_cells * 24 * 4 bytes per (domain, column) live
+    # inside the LOBPCG while-loop (measured: 27.8 GB compile-time
+    # allocation for 64 domains x 24 columns at 72^3 — far past HBM);
+    # one compiled executable per chunk shape, reused across slices
+    budget = float(_os.environ.get("GENEO_LOBPCG_BUDGET_GB", "6")) * 1e9
+
+    def _slice(t, lo_i, hi_i):
+        return jax.tree_util.tree_map(
+            lambda a: a[lo_i:hi_i]
+            if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n_dom else a,
+            t)
+
+    def _cat(t1, t2, have):
+        return jax.tree_util.tree_map(
+            lambda a, c2: jnp.concatenate([a, c2], 0)
+            if getattr(a, "ndim", 0) >= 1 and a.shape[0] == have
+            else a, t1, t2)
+
+    def run_all(k, x0_prev=None):
+        n_cells3 = (sz - 1) * (sy - 1) * (sx - 1) * 24
+        per_dom = (n_loc3 * 16 + n_cells3 * 8) * (3 * k) * 4
+        chunk = int(np.clip(budget // max(per_dom, 1), 1, n_dom))
+        if chunk >= n_dom:
+            return run_lobpcg(neu_op, b_dad, t_sur, maskc, rigid0, k,
+                              x0_prev=x0_prev)
+        trees = (neu_op, b_dad, t_sur, maskc, x0_prev)
+        n_chunks = (n_dom + chunk - 1) // chunk
+        parts = []
+        for ci in range(n_chunks):
+            lo_i, hi_i = ci * chunk, min((ci + 1) * chunk, n_dom)
+            args = [_slice(t, lo_i, hi_i) for t in trees]
+            if hi_i - lo_i < chunk:
+                pad_n = chunk - (hi_i - lo_i)
+                args = [_cat(a, _slice(t, 0, pad_n), hi_i - lo_i)
+                        for a, t in zip(args, trees)]
+            out = run_lobpcg(args[0], args[1], args[2], args[3], rigid0,
+                             k, x0_prev=args[4])
+            jax.block_until_ready(out[0])
+            parts.append(tuple(o[:hi_i - lo_i] for o in out))
+            _vlog(f"lobpcg chunk {ci + 1}/{n_chunks} (k={k}) done")
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(3))
 
     # tau-adaptive growth with warm restart; elasticity floats carry >= 6
     # rigid modes, so start at 8 (3 translations + 3 rotations + margin)
@@ -663,8 +775,7 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     k_cand = min(k_cand, n_loc3)
     x_prev = None
     while True:
-        w, v, res = run_lobpcg(neu_op, b_dad, t_sur, maskc, k_cand,
-                               x0_prev=x_prev)
+        w, v, res = run_all(k_cand, x0_prev=x_prev)
         w_np = np.asarray(w, np.float64)
         _vlog(f"lobpcg k={k_cand} done")
         if opts.cut > 0 or k_cand >= min(128, n_loc3):
@@ -674,6 +785,12 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
         x_prev = v
         k_cand = min(k_cand * 2, min(128, n_loc3))
     res_np = np.asarray(res, np.float64)
+    if jax.default_backend() != "cpu":
+        # drop the LOBPCG executables: their device scratch reservations
+        # (sized to the chunk budget) otherwise stay resident and starve
+        # the E-assembly allocations (observed ResourceExhausted at a
+        # 1 GB pad with < 5 GB of live arrays)
+        jax.clear_caches()
     if timers is not None:
         _dt = _time.perf_counter() - _t
         timers.add("l2_eig", _dt)
@@ -691,7 +808,7 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     stats.lobpcg_res = kept_res
 
     # Nicolaides (geneo.cpp:897-955): constant vector over ALL components
-    ones_b = maskf3
+    ones_b = maskc.reshape(n_dom, sz, sy, sx, 3)
     num_all = np.asarray(jnp.einsum(
         "dzyxc,dzyxc->d", ones_b, neu_op.matvec(ones_b)), np.float64)
     den_all = np.asarray(jnp.einsum(
@@ -738,17 +855,46 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     _vlog("Z built")
 
     # E = Z^T A Z in f64 when x64 is on (near-null coarse columns cancel
-    # eps(f32)*||A||-level terms; see structured/geneo.py)
+    # eps(f32)*||A||-level terms; see structured/geneo.py).  STREAMED:
+    # the dilated f64 apply runs per domain chunk inside _coarse_e's
+    # y_fn, so no global y (nor f64 z copy) ever materializes — the
+    # tunneled TPU runtime reclaims churn poorly and any late GB-scale
+    # allocation dies (observed at 152^3).
+    del v                           # the raw eigenvector block (z owns it)
+    if jax.default_backend() != "cpu":
+        jax.clear_caches()          # drop the LOBPCG/setup executables
     e_dtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
     dir_e = dir_dil if dtype == e_dtype else LocalElastic(
         cw=cw_dil.astype(e_dtype), k0=k0d.astype(e_dtype),
         diag_add=bc_dir_dil.astype(e_dtype), pads=(0, 0, 0))
     pz, py, px = dil_pads
-    pad_width = [(0, 0), (pz, pz), (py, py), (px, px), (0, 0), (0, 0)]
-    z_dil = jnp.pad(z.astype(e_dtype), pad_width)
-    y_dil = dir_e.matvec(z_dil)
-    y_dil = y_dil * maskd[..., None, None].astype(e_dtype)
-    e = _coarse_e(sd, z.astype(e_dtype), y_dil, counts)
+    pad_width = ((0, 0), (pz, pz), (py, py), (px, px), (0, 0), (0, 0))
+    md_e = maskd.astype(e_dtype)
+
+    @partial(jax.jit, static_argnames=("size",))
+    def _y_chunk(op_, zc, mc, size):
+        zp = jnp.pad(zc.astype(e_dtype), pad_width)
+        return op_.matvec(zp) * mc[..., None, None]
+
+    def y_fn(lo, size):
+        opc = jax.tree_util.tree_map(
+            lambda a: a[lo:lo + size]
+            if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n_dom else a,
+            dir_e)
+        return _y_chunk(opc,
+                        jax.lax.slice_in_dim(z, lo, lo + size, axis=0),
+                        jax.lax.slice_in_dim(md_e, lo, lo + size,
+                                             axis=0),
+                        size=size)
+
+    # one domain per y chunk when the emulated-f64 dilated apply's
+    # compile-time allocation plan would not fit (~4.4 GB/domain at
+    # 152^3 with 8 columns; measured 35 GB for an 8-domain chunk)
+    n_cd3 = (sz + 1) * (sy + 1) * (sx + 1) * 24
+    y_step = int(np.clip(budget // max(n_cd3 * k_max * 8 * 40, 1),
+                         1, n_dom))
+    e = _coarse_e(sd, z, None, counts, y_fn=y_fn, e_dtype=e_dtype,
+                  y_step=y_step)
     _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
     (z, colids, e_evecs, e_eig_inv, dim_e, k_max,
      counts) = finalize_coarse(e, z, counts, stats, dtype, e_dtype)

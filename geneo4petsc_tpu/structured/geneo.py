@@ -201,17 +201,15 @@ def finalize_coarse(e: np.ndarray, z: jax.Array, counts: np.ndarray,
         new_offs = np.zeros(n_dom, np.int64)
         np.cumsum(new_counts[:-1], out=new_offs[1:])
         new_k_max = max(int(new_counts.max()), 1)
-        gidx = np.zeros((n_dom, new_k_max), np.int64)
+        # column selection as a one-hot matmul (a take_along_axis gather
+        # on the big [n_dom, ..., k] basis blows TPU scoped vmem)
+        sel = np.zeros((n_dom, z.shape[-1], new_k_max))
         for p in range(n_dom):
             js = np.flatnonzero(kept_mask[offs[p]:offs[p] + counts[p]])
-            gidx[p, :js.size] = js
+            sel[p, js, np.arange(js.size)] = 1.0
             stats.eigenvalues[p] = [stats.eigenvalues[p][j] for j in js]
-        colmask = np.arange(new_k_max)[None, :] < new_counts[:, None]
-        mid = (1,) * (z.ndim - 2)
-        z = jnp.take_along_axis(
-            z, jnp.asarray(gidx).reshape((n_dom,) + mid + (new_k_max,)),
-            axis=-1) * jnp.asarray(colmask, dtype).reshape(
-                (n_dom,) + mid + (new_k_max,))
+        z = jnp.einsum("d...k,dkm->d...m", z, jnp.asarray(sel, dtype),
+                       preferred_element_type=dtype)
         e = e[np.ix_(keep, keep)]
         stats.real_dim_e = new_counts.copy()
         counts, offs = new_counts, new_offs
@@ -251,13 +249,18 @@ def _tau_loc_structured(sd: StructuredDecomposition, tau: float,
 
 
 def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
-              y_dil: jax.Array, counts: np.ndarray) -> np.ndarray:
+              y_dil: jax.Array | None, counts: np.ndarray,
+              y_fn=None, e_dtype=None, y_step=None) -> np.ndarray:
     """E = Z^T A Z via per-offset window contractions.
 
     z:     [n_dom, lz, ly, lx(, c), k_max] D-weighted local basis (zero
            pad; optional per-node component axis c for vector problems)
     y_dil: [n_dom, dz, dy, dx(, c), k_max] = A z_d on the one-layer-dilated
-           box
+           box — or None with ``y_fn(lo, size)`` producing the [size, ...]
+           domain chunk on demand (the STREAMED mode: at elasticity scale
+           the full f64 y is >1 GB and the tunneled runtime's poor
+           reclamation makes any late full-size allocation fatal, so y
+           chunks live only inside one domain-chunk iteration)
     Returns the REAL (unpadded) dense symmetric E [dim_e, dim_e] (host).
     """
     gx, gy, gz = sd.dom_grid
@@ -295,27 +298,163 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
         offs_used.append(((ox, oy, oz), ws))
 
     sub = "dzyxck,dzyxcm->dkm" if z.ndim == 6 else "dzyxk,dzyxm->dkm"
+    # assembly precision follows y (f64 when x64 is on); z itself may
+    # arrive in the device dtype — its values are exact in f32, and the
+    # upcast happens PER WINDOW inside the jitted contractions so a full
+    # f64 copy of the basis never materializes (at elasticity scale that
+    # copy alone is ~1 GB and fragmentation kills the allocation)
+    ptype = e_dtype if y_dil is None else y_dil.dtype
+
+    def _one_block(z_, y_, off, ws):
+        (ox, oy, oz) = off
+        ((zwx, ywx), (zwy, ywy), (zwz, ywz)) = ws
+        z_b = halo.from_batch(z_, sd.dom_grid)      # [gz, gy, gx, ...]
+        zr = z_b
+        for gaxis, o in ((2, ox), (1, oy), (0, oz)):
+            if o:
+                zr = jnp.roll(zr, -o, axis=gaxis)
+        zwin = halo.to_batch(zr)[:, zwz, zwy, zwx].astype(ptype)
+        ywin = y_[:, ywz, ywy, ywx]
+        return jnp.einsum(sub, zwin, ywin, preferred_element_type=ptype,
+                          precision="highest")
 
     @jax.jit
     def all_blocks(z_, y_):
         """One compiled program for every neighbor-offset contraction."""
-        z_b = halo.from_batch(z_, sd.dom_grid)      # [gz, gy, gx, ...]
-        out = []
-        for (ox, oy, oz), ((zwx, ywx), (zwy, ywy), (zwz, ywz)) in offs_used:
-            zr = z_b
-            for gaxis, o in ((2, ox), (1, oy), (0, oz)):
-                if o:
-                    zr = jnp.roll(zr, -o, axis=gaxis)
-            zwin = halo.to_batch(zr)[:, zwz, zwy, zwx]
-            ywin = y_[:, ywz, ywy, ywx]
-            out.append(jnp.einsum(
-                sub, zwin, ywin,
-                preferred_element_type=jnp.float64
-                if z_.dtype == jnp.float64 else jnp.float32,
-                precision="highest"))
-        return jnp.stack(out)                        # [n_off, d, k, k]
+        return jnp.stack([_one_block(z_, y_, off, ws)
+                          for off, ws in offs_used])  # [n_off, d, k, k]
 
-    blocks = np.asarray(all_blocks(z, y_dil), np.float64)
+    # one fused program when the rolled copies fit comfortably; at
+    # elasticity scale (f64 component-blocked z) the n_off-way roll+
+    # window+contract liveness exceeds HBM — run offset by offset with
+    # the windowed contraction further split over domain chunks
+    import os as _os_e
+    force_chunked = _os_e.environ.get("GENEO_E_CHUNKED") == "1"
+    if y_fn is not None:
+        # STREAMED: domain chunks outer (y built on demand), offsets
+        # inner — peak extra device memory is ONE y chunk + one window
+        @partial(jax.jit, static_argnames=("ws", "z_start", "size",
+                                           "y_off"))
+        def _stream_chunk(z_, y_c, ws, z_start, size, y_off):
+            ((zwx, ywx), (zwy, ywy), (zwz, ywz)) = ws
+            zwin = jax.lax.slice_in_dim(
+                z_, z_start, z_start + size,
+                axis=0)[:, zwz, zwy, zwx].astype(ptype)
+            ywin = jax.lax.slice_in_dim(
+                y_c, y_off, y_off + size, axis=0)[:, ywz, ywy, ywx]
+            kk, mm = zwin.shape[-1], ywin.shape[-1]
+            z2 = zwin.reshape(size, -1, kk)
+            y2 = ywin.reshape(size, -1, mm)
+            return jnp.einsum("dnk,dnm->dkm", z2, y2,
+                              preferred_element_type=ptype,
+                              precision="highest")
+
+        _sdbg = _os_e.environ.get("GENEO_SETUP_VERBOSE") == "1"
+        import sys as _sys_e
+        import time as _time_e
+        _st0 = _time_e.perf_counter()
+        o_lin_all = [off[0] + gx * off[1] + gx * gy * off[2]
+                     for off, _w in offs_used]
+
+        @jax.jit
+        def _stream_all(z_, y_c, lo_d):
+            """ALL offset contractions of a size-1 domain chunk in ONE
+            dispatch (the per-offset loop costs 27x the tunnel's RPC
+            round trip per chunk); invalid offsets read a clamped row
+            whose result the host discards."""
+            out = []
+            for (off, ws), o_lin in zip(offs_used, o_lin_all):
+                ((zwx, _ywx), (zwy, _ywy), (zwz, _ywz)) = ws
+                ((_zwx, ywx), (_zwy, ywy), (_zwz, ywz)) = ws
+                idx = jnp.clip(lo_d + o_lin, 0, z_.shape[0] - 1)
+                zwin = jax.lax.dynamic_slice_in_dim(
+                    z_, idx, 1, axis=0)[:, zwz, zwy, zwx].astype(ptype)
+                ywin = y_c[:, ywz, ywy, ywx]
+                kk, mm = zwin.shape[-1], ywin.shape[-1]
+                z2 = zwin.reshape(1, -1, kk)
+                y2 = ywin.reshape(1, -1, mm)
+                out.append(jnp.einsum("dnk,dnm->dkm", z2, y2,
+                                      preferred_element_type=ptype,
+                                      precision="highest")[0])
+            return jnp.stack(out)             # [n_off, k, k]
+
+        d_step = y_step if y_step else max(n_dom // 8, 1)
+        blocks = np.zeros((len(offs_used), n_dom, k_max, k_max))
+        for lo_d in range(0, n_dom, d_step):
+            if _sdbg:
+                print(f"[coarse_e {_time_e.perf_counter() - _st0:7.2f}s]"
+                      f" streamed chunk {lo_d}/{n_dom}",
+                      file=_sys_e.stderr, flush=True)
+            c_size = min(d_step, n_dom - lo_d)
+            y_c = y_fn(lo_d, c_size)
+            if c_size == 1:
+                all_b = np.asarray(
+                    _stream_all(z, y_c, jnp.int32(lo_d)), np.float64)
+                for io, o_lin in enumerate(o_lin_all):
+                    if 0 <= lo_d + o_lin < n_dom:
+                        blocks[io, lo_d] = all_b[io]
+                del y_c
+                continue
+            jax.block_until_ready(y_c)
+            for io, (off, ws) in enumerate(offs_used):
+                o_lin = o_lin_all[io]
+                d0 = max(lo_d, -o_lin)
+                d1 = min(lo_d + c_size, n_dom - o_lin)
+                if d1 <= d0:
+                    continue
+                b1 = _stream_chunk(z, y_c, ws=ws, z_start=d0 + o_lin,
+                                   size=d1 - d0, y_off=d0 - lo_d)
+                jax.block_until_ready(b1)
+                blocks[io, d0:d1] = np.asarray(b1, np.float64)
+            del y_c
+    elif (z.nbytes + y_dil.nbytes) * 4 < 4e9 and not force_chunked:
+        blocks = np.asarray(all_blocks(z, y_dil), np.float64)
+    else:
+        # the neighbor offset is a CONSTANT shift o_lin on the flat
+        # domain axis (d = px + gx*(py + gy*pz)).  Rows whose shifted
+        # index leaves [0, n_dom) are always invalid (some per-axis
+        # coordinate left its range too, so `ok` below is false), so
+        # each offset only needs the valid linear row range — every
+        # slice is in-bounds and perfectly aligned with NO padding, NO
+        # roll, and NO transpose: nothing beyond the window-sized
+        # einsum operands is ever allocated (the tunneled TPU runtime
+        # reclaims churn poorly; keep late-phase allocations tiny).
+        @partial(jax.jit, static_argnames=("ws", "lo_d", "size",
+                                           "o_lin"))
+        def _one_chunk(z_, y_, ws, lo_d, size, o_lin):
+            ((zwx, ywx), (zwy, ywy), (zwz, ywz)) = ws
+            zwin = jax.lax.slice_in_dim(
+                z_, lo_d + o_lin, lo_d + o_lin + size,
+                axis=0)[:, zwz, zwy, zwx].astype(ptype)
+            ywin = jax.lax.slice_in_dim(
+                y_, lo_d, lo_d + size, axis=0)[:, ywz, ywy, ywx]
+            # flatten the window to a plain batched GEMM [d, N, k] x
+            # [d, N, m]: the 6-D emulated-f64 dot lowers with per-axis
+            # tiling blowups (compile-time OOM at 152^3)
+            kk = zwin.shape[-1]
+            mm = ywin.shape[-1]
+            z2 = zwin.reshape(size, -1, kk)
+            y2 = ywin.reshape(size, -1, mm)
+            return jnp.einsum("dnk,dnm->dkm", z2, y2,
+                              preferred_element_type=ptype,
+                              precision="highest")
+
+        d_step = max(n_dom // 8, 1)
+        k_m = z.shape[-1]
+        parts = []
+        for off, ws in offs_used:
+            o_lin = off[0] + gx * off[1] + gx * gy * off[2]
+            lo_v = max(0, -o_lin)
+            hi_v = n_dom - max(0, o_lin)
+            blk = np.zeros((n_dom, k_m, k_m))
+            for lo_d in range(lo_v, hi_v, d_step):
+                size = min(d_step, hi_v - lo_d)
+                b1 = _one_chunk(z, y_dil, ws=ws, lo_d=lo_d, size=size,
+                                o_lin=o_lin)
+                jax.block_until_ready(b1)
+                blk[lo_d:lo_d + size] = np.asarray(b1, np.float64)
+            parts.append(blk)
+        blocks = np.stack(parts)
 
     rows_i, cols_i, vals = [], [], []
     for io, ((ox, oy, oz), _ws) in enumerate(offs_used):
@@ -555,7 +694,35 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
                 base = np.minimum(base, cut_p)
             _vlog(f"dense eigh[{label}] done")
             return w_np, v, base, np.zeros(n_dom)
-        k_cand = cut_p if cut_p > 0 else 8
+        syl = None
+        if cut_p > 0:
+            k_cand = cut_p
+        else:
+            # Sylvester inertia of (A - theta B) via the block-tridiag
+            # LDL^T plane recursion (estimateNumberOfEigenValues,
+            # geneo.cpp:502-560) sizes the candidate block up front —
+            # one LOBPCG pass in the common case; the warm-restarted
+            # doubling below remains the safety net (and the only route
+            # when the plane eigendecompositions don't fit)
+            s2_est = n_loc // max(sd.local_shape[
+                int(np.argmax(sd.local_shape))], 1)
+            if not opts.no_syl and s2_est <= 192 and solvers.bt_bytes(
+                    n_dom, sd.local_shape) <= 2e9:
+                from .block_tridiag import bt_inertia
+                beta = jnp.asarray(-thr, dtype).reshape(-1, 1, 1, 1)
+                pen = lo.LocalStencil(
+                    diag=a_st.diag + beta * b_st.diag,
+                    offs=tuple(ca + beta * cb for ca, cb
+                               in zip(a_st.offs, b_st.offs)))
+                axis = lo.plane_axis(sd.local_shape)
+                dp, ip, cc = lo.plane_coefficients(pen, axis)
+                syl = np.asarray(jax.jit(bt_inertia)(dp, ip, cc),
+                                 np.int64)
+                k_cand = int(np.clip(syl.max(), 1, min(128, n_loc)))
+                _vlog(f"sylvester[{label}] estimates done "
+                      f"(k_cand={k_cand})")
+            else:
+                k_cand = 8
         k_cand = min(k_cand, n_loc)
         x_prev = None
         while True:
@@ -739,7 +906,7 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     # stencil would otherwise inject the zero-padded z — already zero, but
     # the mask keeps out-of-grid halo reads inert)
     y_dil = y_dil * f_dil.mask[..., None].astype(e_dtype)
-    e = _coarse_e(sd, z.astype(e_dtype), y_dil, counts)
+    e = _coarse_e(sd, z, y_dil, counts)
     _vlog(f"E assembled ({dim_e}x{dim_e}); factoring")
     (z, colids, e_evecs, e_eig_inv, dim_e, k_max,
      counts) = finalize_coarse(e, z, counts, stats, dtype, e_dtype)

@@ -236,13 +236,16 @@ class PCGSolver:
             sl = (slice(None),) + (None,) * (nd - 1)
             return a[sl] if extra == 0 else a[sl + (slice(None),)]
 
+        # carry only (u, r, p, rz): the preconditioned residual z is
+        # recomputed in the body — one fewer block-sized while-loop
+        # carry (double-buffered by XLA, ~1 GB at the 10M elastic bench)
         def cond(state):
-            _u, r, _z, _p, _rz, it = state
+            _u, r, _p, _rz, it = state
             rr = dots(r, r)
             return (it < self.max_it) & jnp.any(rr > tol2)
 
         def body(state):
-            u, r, z, p, rz, it = state
+            u, r, p, rz, it = state
             w = amul(p)
             pw = dots(p, w)
             alpha = jnp.where(pw > 0, rz / jnp.maximum(pw, 1e-30), 0.0)
@@ -252,11 +255,11 @@ class PCGSolver:
             rz2 = dots(r, z)
             beta = jnp.where(rz > 0, rz2 / jnp.maximum(rz, 1e-30), 0.0)
             p = z + ex(beta) * p
-            return u, r, z, p, rz2, it + 1
+            return u, r, p, rz2, it + 1
 
         u0 = jnp.zeros_like(b)
-        u, _r, _z, _p, _rz, _it = jax.lax.while_loop(
-            cond, body, (u0, r0, z0, z0, rz0, jnp.int32(0)))
+        u, _r, _p, _rz, _it = jax.lax.while_loop(
+            cond, body, (u0, r0, z0, rz0, jnp.int32(0)))
         return u * m
 
 
