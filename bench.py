@@ -109,6 +109,8 @@ def bench_structured(size, dom_g, overlap):
     out = solve_structured(grid, (dom_g, dom_g, dom_g), overlap,
                            geneo=opts, ksp=KSPOptions(type="cg"), tol=1e-8)
     _log("solve done")
+    _log("timers: " + json.dumps(
+        {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
 
     n = grid.n_nodes
     x_true = jnp.arange(1.0, n + 1, dtype=jnp.float64)
@@ -184,6 +186,8 @@ def bench_nonsep(size, dom_g, overlap):
     out = solve_structured(grid, (dom_g, dom_g, dom_g), overlap,
                            geneo=opts, ksp=KSPOptions(type="cg"), tol=1e-8)
     _log("solve done")
+    _log("timers: " + json.dumps(
+        {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
 
     import jax.numpy as jnp
     n = grid.n_nodes
@@ -258,6 +262,8 @@ def bench_elastic(size, dom_g, overlap):
     out = solve_elastic(grid, (dom_g, dom_g, dom_g), overlap, opts,
                         tol=1e-8)
     _log("solve done")
+    _log("timers: " + json.dumps(
+        {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
 
     import jax.numpy as jnp
     n = grid.n_dof

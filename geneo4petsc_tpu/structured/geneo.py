@@ -716,8 +716,15 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
                                in zip(a_st.offs, b_st.offs)))
                 axis = lo.plane_axis(sd.local_shape)
                 dp, ip, cc = lo.plane_coefficients(pen, axis)
-                syl = np.asarray(jax.jit(bt_inertia)(dp, ip, cc),
-                                 np.int64)
+                # strides must stay static under jit (they drive slice
+                # bounds in _assemble_plane) — close over them and pass
+                # only the coefficient arrays as traced operands
+                ip_strides = tuple(st for _, st in ip)
+                ip_coeffs = [cf for cf, _ in ip]
+                syl = np.asarray(jax.jit(
+                    lambda d, cfs, cpl: bt_inertia(
+                        d, list(zip(cfs, ip_strides)), cpl))(
+                            dp, ip_coeffs, cc), np.int64)
                 k_cand = int(np.clip(syl.max(), 1, min(128, n_loc)))
                 _vlog(f"sylvester[{label}] estimates done "
                       f"(k_cand={k_cand})")
