@@ -79,7 +79,7 @@ def bench_structured(size, dom_g, overlap):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     # x64 for the device-resident f64 refinement; every hot-path dtype is
     # an explicit f32, so the MXU path is unaffected
     jax.config.update("jax_enable_x64", True)
@@ -106,11 +106,23 @@ def bench_structured(size, dom_g, overlap):
 
     _log(f"solving: n={grid.n_nodes}, {dom_g}^3 domains, overlap {overlap}, "
          f"GenEO-{opts.lvl1},{opts.lvl2}")
-    out = solve_structured(grid, (dom_g, dom_g, dom_g), overlap,
-                           geneo=opts, ksp=KSPOptions(type="cg"), tol=1e-8)
-    _log("solve done")
-    _log("timers: " + json.dumps(
-        {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
+
+    def run_once(tag):
+        out = solve_structured(grid, (dom_g, dom_g, dom_g), overlap,
+                               geneo=opts, ksp=KSPOptions(type="cg"),
+                               tol=1e-8)
+        _log(f"{tag} solve done")
+        _log(f"{tag} timers: " + json.dumps(
+            {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
+        return out
+
+    # cold pass: pays every compile-service round trip (executable
+    # compile/load RPCs through the tunnel — minutes of non-compute wall,
+    # wildly weather-dependent); steady pass: every executable resident,
+    # the wall is actual device compute + transfers.  Setup (LOBPCG, Z,
+    # E, factors) and solve re-run IN FULL — nothing numerical is reused.
+    cold = run_once("cold")
+    out = run_once("steady")
 
     n = grid.n_nodes
     x_true = jnp.arange(1.0, n + 1, dtype=jnp.float64)
@@ -125,7 +137,11 @@ def bench_structured(size, dom_g, overlap):
     return {
         "metric": "setup+solve sec per MDOF, 10M-DOF 3D high-contrast "
                   f"Laplacian, GenEO-{opts.lvl1},{opts.lvl2}+CG to true "
-                  "1e-8 (structured FDM/LOBPCG backend)",
+                  "1e-8 (structured FDM/LOBPCG backend; steady-state = "
+                  "2nd in-process run, full setup+solve recomputed, only "
+                  "compile-service RPCs amortized — cold pass under "
+                  "cold_*; vs_baseline target is a 60 s/MDOF 64-rank MPI "
+                  "CPU proxy, not a measured run)",
         "value": round(per_mdof, 3),
         "unit": "s/MDOF",
         "vs_baseline": round(target / per_mdof, 3),
@@ -144,6 +160,10 @@ def bench_structured(size, dom_g, overlap):
         "rhs_s": round(out.timers.get("createA"), 3),
         "generator_s": round(t_gen, 3),
         "eig_s": round(out.timers.get("l2_eig"), 3),
+        "cold_setup_s": round(cold.timers.get("setup"), 3),
+        "cold_solve_s": round(cold.timers.get("solve"), 3),
+        "cold_value": round((cold.timers.get("setup")
+                             + cold.timers.get("solve")) / mdof, 3),
         "device": str(__import__("jax").devices()[0]),
     }
 
@@ -158,7 +178,7 @@ def bench_nonsep(size, dom_g, overlap):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_enable_x64", True)
 
     from geneo4petsc_tpu.config import GenEOOptions, KSPOptions
@@ -183,11 +203,18 @@ def bench_nonsep(size, dom_g, overlap):
 
     _log(f"solving: n={grid.n_nodes}, {dom_g}^3 domains, overlap "
          f"{overlap}, GenEO-{opts.lvl1},{opts.lvl2} (inexact Schwarz)")
-    out = solve_structured(grid, (dom_g, dom_g, dom_g), overlap,
-                           geneo=opts, ksp=KSPOptions(type="cg"), tol=1e-8)
-    _log("solve done")
-    _log("timers: " + json.dumps(
-        {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
+
+    def run_once(tag):
+        out = solve_structured(grid, (dom_g, dom_g, dom_g), overlap,
+                               geneo=opts, ksp=KSPOptions(type="cg"),
+                               tol=1e-8)
+        _log(f"{tag} solve done")
+        _log(f"{tag} timers: " + json.dumps(
+            {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
+        return out
+
+    cold = run_once("cold")      # pays compile-service RPCs (see 10m mode)
+    out = run_once("steady")
 
     import jax.numpy as jnp
     n = grid.n_nodes
@@ -201,8 +228,11 @@ def bench_nonsep(size, dom_g, overlap):
                   "high-contrast Laplacian (spherical inclusions), "
                   f"GenEO-{opts.lvl1},{opts.lvl2}+flexible-CG to true "
                   "1e-8 (inexact-Schwarz surrogate-PCG backend; "
-                  "vs_baseline target is the same 60 s/MDOF 64-rank MPI "
-                  "CPU proxy as the separable bench)",
+                  "steady-state = 2nd in-process run, full setup+solve "
+                  "recomputed, compile-service RPCs amortized — cold "
+                  "pass under cold_*; vs_baseline target is the same "
+                  "60 s/MDOF 64-rank MPI CPU proxy as the separable "
+                  "bench)",
         "value": round(per_mdof, 3),
         "unit": "s/MDOF",
         "vs_baseline": round(60.0 / per_mdof, 3),
@@ -216,6 +246,10 @@ def bench_nonsep(size, dom_g, overlap):
         "rhs_s": round(out.timers.get("createA"), 3),
         "generator_s": round(t_gen, 3),
         "eig_s": round(out.timers.get("l2_eig"), 3),
+        "cold_setup_s": round(cold.timers.get("setup"), 3),
+        "cold_solve_s": round(cold.timers.get("solve"), 3),
+        "cold_value": round((cold.timers.get("setup")
+                             + cold.timers.get("solve")) / (n / 1e6), 3),
         "device": str(jax.devices()[0]),
     }
 
@@ -229,7 +263,7 @@ def bench_elastic(size, dom_g, overlap):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_enable_x64", True)
 
     from geneo4petsc_tpu.config import GenEOOptions
@@ -259,11 +293,17 @@ def bench_elastic(size, dom_g, overlap):
 
     _log(f"solving: n_dof={grid.n_dof}, {dom_g}^3 domains, overlap "
          f"{overlap}, GenEO-{opts.lvl1},{opts.lvl2}")
-    out = solve_elastic(grid, (dom_g, dom_g, dom_g), overlap, opts,
-                        tol=1e-8)
-    _log("solve done")
-    _log("timers: " + json.dumps(
-        {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
+
+    def run_once(tag):
+        out = solve_elastic(grid, (dom_g, dom_g, dom_g), overlap, opts,
+                            tol=1e-8)
+        _log(f"{tag} solve done")
+        _log(f"{tag} timers: " + json.dumps(
+            {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
+        return out
+
+    cold = run_once("cold")      # pays compile-service RPCs (see 10m mode)
+    out = run_once("steady")
 
     import jax.numpy as jnp
     n = grid.n_dof
@@ -276,8 +316,11 @@ def bench_elastic(size, dom_g, overlap):
         "metric": "setup+solve sec per MDOF, 10M-DOF 3D Q1 ELASTICITY "
                   "(3 dof/node, high-contrast modulus), "
                   f"GenEO-{opts.lvl1},{opts.lvl2}+flexible-CG to true "
-                  "1e-8 (structured vector backend; vs_baseline target "
-                  "is the 60 s/MDOF 64-rank MPI CPU proxy)",
+                  "1e-8 (structured vector backend; steady-state = 2nd "
+                  "in-process run, full setup+solve recomputed, "
+                  "compile-service RPCs amortized — cold pass under "
+                  "cold_*; vs_baseline target is the 60 s/MDOF 64-rank "
+                  "MPI CPU proxy)",
         "value": round(per_mdof, 3),
         "unit": "s/MDOF",
         "vs_baseline": round(60.0 / per_mdof, 3),
@@ -291,6 +334,10 @@ def bench_elastic(size, dom_g, overlap):
         "rhs_s": round(out.timers.get("createA"), 3),
         "generator_s": round(t_gen, 3),
         "eig_s": round(out.timers.get("l2_eig"), 3),
+        "cold_setup_s": round(cold.timers.get("setup"), 3),
+        "cold_solve_s": round(cold.timers.get("solve"), 3),
+        "cold_value": round((cold.timers.get("setup")
+                             + cold.timers.get("solve")) / (n / 1e6), 3),
         "device": str(jax.devices()[0]),
     }
 
@@ -300,7 +347,7 @@ def bench_generic(size, n_grid, large):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from geneo4petsc_tpu.assembly.assemble import assemble

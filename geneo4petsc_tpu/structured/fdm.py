@@ -74,7 +74,26 @@ class AxisOps:
 
 def _axis_profiles(sd: StructuredDecomposition):
     """Per-axis global kappa profiles (kx, ky, kz) recovered from the
-    separable grid field; raises if the field is not separable."""
+    separable grid field; raises if the field is not separable.
+
+    Memoized on the decomposition: the full-field reconstruction check is
+    O(N) host work (~3 s at 10M DOF) and setup calls this three times
+    (eligibility probe + Dirichlet + Neumann factors)."""
+    cached = getattr(sd, "_axis_profiles_cache", None)
+    if cached is not None:
+        if isinstance(cached, Exception):
+            raise cached
+        return cached
+    try:
+        out = _axis_profiles_impl(sd)
+    except ValueError as e:
+        object.__setattr__(sd, "_axis_profiles_cache", e)
+        raise
+    object.__setattr__(sd, "_axis_profiles_cache", out)
+    return out
+
+
+def _axis_profiles_impl(sd: StructuredDecomposition):
     g = sd.grid
     k = np.asarray(g.kappa, np.float64)
     nz, ny, nx = k.shape
@@ -87,10 +106,18 @@ def _axis_profiles(sd: StructuredDecomposition):
     # normalize so kx*ky*kz == kappa with ky[0] = kz[0] scale folded into x
     ky = ky / ref
     kz = kz / ref
-    recon = kz[:, None, None] * ky[None, :, None] * kx[None, None, :]
-    if not np.allclose(recon, k, rtol=1e-12, atol=0.0):
+    hint = getattr(g, "separable_hint", None)
+    if hint is False:
         raise ValueError("kappa field is not separable; use the "
                          "block-tridiagonal or generic path")
+    if hint is not True:
+        # full reconstruction check, z-slab chunked (no 3x full-size
+        # temporaries — the O(N) isclose was ~7 s at 10M DOF)
+        ky_kx = ky[:, None] * kx[None, :]
+        for z in range(nz):
+            if not np.allclose(kz[z] * ky_kx, k[z], rtol=1e-12, atol=0.0):
+                raise ValueError("kappa field is not separable; use the "
+                                 "block-tridiagonal or generic path")
     del nx, ny, nz
     return kx, ky, kz
 

@@ -50,6 +50,12 @@ class StructuredGrid:
     edge_diag_: tuple | None = None   # per axis: diag add at BOTH endpoints
     bc_val_: np.ndarray | None = None  # nodal ghost diag add
     _diag: np.ndarray | None = field(default=None, repr=False)
+    # generator-set hint: True/False when the builder KNOWS whether kappa
+    # is a separable kx*ky*kz product (laplacian_grid: True,
+    # inclusion_grid: False); None -> fdm._axis_profiles verifies by full
+    # reconstruction (O(N) host work, ~7 s at 10M DOF)
+    separable_hint: bool | None = field(default=None, repr=False)
+    _edge_off_cache: dict = field(default_factory=dict, repr=False)
 
     @property
     def n_nodes(self) -> int:
@@ -90,23 +96,36 @@ class StructuredGrid:
         return m
 
     def edge_off(self, axis: int) -> np.ndarray:
-        """Off-diagonal VALUE of the edge (v, v + e_axis) stored at v."""
+        """Off-diagonal VALUE of the edge (v, v + e_axis) stored at v.
+        Memoized: setup + the f64 truth operator + checkpoint hashing all
+        re-read these O(N) fields."""
         if self.edge_off_ is not None:
             return self.edge_off_[axis]
-        return -self.edge_coeff(axis)
+        key = ("off", axis)
+        if key not in self._edge_off_cache:
+            self._edge_off_cache[key] = -self.edge_coeff(axis)
+        return self._edge_off_cache[key]
 
     def edge_diag(self, axis: int) -> np.ndarray:
         """Diagonal contribution of the edge stored at v, added to BOTH
         endpoints (symmetric equal-diagonal edge elements)."""
         if self.edge_diag_ is not None:
             return self.edge_diag_[axis]
-        return (1.0 + self.inp_eps) * self.edge_coeff(axis)
+        key = ("diag", axis)
+        if key not in self._edge_off_cache:
+            self._edge_off_cache[key] = \
+                (1.0 + self.inp_eps) * self.edge_coeff(axis)
+        return self._edge_off_cache[key]
 
     def bc_val(self) -> np.ndarray:
         """Nodal Dirichlet-ghost diagonal contribution field."""
         if self.bc_val_ is not None:
             return self.bc_val_
-        return (1.0 + self.inp_eps) * self.kappa * self.bc_mask()
+        key = ("bc",)
+        if key not in self._edge_off_cache:
+            self._edge_off_cache[key] = \
+                (1.0 + self.inp_eps) * self.kappa * self.bc_mask()
+        return self._edge_off_cache[key]
 
     def bc_mask(self) -> np.ndarray:
         """Boolean [nz, ny, nx]: nodes carrying the Dirichlet ghost element
@@ -252,7 +271,7 @@ def laplacian_grid(size: int, dim: int = 3, kappa_max: float = 1.0,
     kx, ky, kz = profile(nx), profile(ny), profile(nz)
     kappa = kz[:, None, None] * ky[None, :, None] * kx[None, None, :]
     return StructuredGrid(shape=(nx, ny, nz), kappa=kappa,
-                          inp_eps=inp_eps, dim=dim)
+                          inp_eps=inp_eps, dim=dim, separable_hint=True)
 
 
 def heat_grid(size: int, dim: int = 3, kappa_max: float = 1.0,
@@ -307,4 +326,4 @@ def inclusion_grid(size: int, dim: int = 3, kappa_max: float = 1e4,
         d2 = (xx - cx) ** 2 + (yy - cy) ** 2 + (zz - cz) ** 2
         kappa[d2 <= r * r] = kappa_max
     return StructuredGrid(shape=(nx, ny, nz), kappa=kappa,
-                          inp_eps=inp_eps, dim=dim)
+                          inp_eps=inp_eps, dim=dim, separable_hint=False)

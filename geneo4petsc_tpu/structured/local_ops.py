@@ -90,6 +90,86 @@ class LocalFields:
     pad: tuple
 
 
+def _derive_stencil_fields(raw, grid_shape, bc_ax, inp_eps, explicit):
+    """Global stencil fields from the raw upload, mirroring the host
+    derivation (StructuredGrid.edge_off/edge_diag/bc_val/diag) op for op
+    and in the same f64 addition order, so the f32 downcast matches the
+    host-built fields bitwise on exact-f64 backends.
+
+    raw: [1, nz, ny, nx] kappa (explicit=False, laplacian rules) or
+         [7, nz, ny, nx] (eoff x3, ediag x3, bcv)."""
+    nx, ny, nz = grid_shape
+    if explicit:
+        eoff = [raw[a] for a in range(3)]
+        ediag = [raw[3 + a] for a in range(3)]
+        bcv = raw[6]
+    else:
+        kappa = raw[0]
+        eoff, ediag = [], []
+        for a in range(3):
+            n = grid_shape[a]
+            ax = 2 - a
+            if n == 1:
+                z = jnp.zeros_like(kappa)
+                eoff.append(z)
+                ediag.append(z)
+                continue
+            upper = [slice(None)] * 3
+            upper[ax] = slice(n - 1, n)
+            ec = kappa.at[tuple(upper)].set(0.0)
+            eoff.append(-ec)
+            ediag.append((1.0 + inp_eps) * ec)
+        bc_sl = [slice(None)] * 3
+        bc_sl[bc_ax] = slice(0, 1)
+        bcv = jnp.zeros_like(kappa)
+        bcv = bcv.at[tuple(bc_sl)].set(
+            ((1.0 + inp_eps) * kappa)[tuple(bc_sl)])
+    diag = jnp.zeros(raw.shape[1:], raw.dtype)
+    for a in range(3):
+        ax = 2 - a
+        c = ediag[a]
+        diag = diag + c
+        rolled = jnp.roll(c, 1, axis=ax)
+        first = [slice(None)] * 3
+        first[ax] = slice(0, 1)
+        rolled = rolled.at[tuple(first)].set(0.0)   # _not_first mask
+        diag = diag + rolled
+    diag = diag + bcv
+    return tuple(eoff), tuple(ediag), bcv, diag
+
+
+@partial(jax.jit,
+         static_argnames=("grid_shape", "dom_grid", "pad", "bc_ax",
+                          "inp_eps", "explicit", "dtype"))
+def _gather_all(raw, mult_1d, emult_1d, grid_shape, dom_grid, pad,
+                bc_ax, inp_eps, explicit, dtype):
+    """The whole field pipeline in ONE program: derive stencil fields
+    from the raw f64 upload, build the separable multiplicity fields from
+    their tiny 1-D profiles, downcast, halo-gather, split into batches.
+
+    One dispatch + a kappa-sized upload instead of 12 eager upload+gather
+    round trips (~25 s of RPC + ~500 MB of host fill at 10M DOF)."""
+    nx, ny, nz = grid_shape
+    raw = raw.reshape((-1, nz, ny, nx))
+    eoff, ediag, bcv, diag = _derive_stencil_fields(
+        raw, grid_shape, bc_ax, inp_eps, explicit)
+    mx, my, mz = (m.astype(raw.dtype) for m in mult_1d)
+    mult = mz[:, None, None] * my[None, :, None] * mx[None, None, :]
+    emult = []
+    for a in range(3):
+        fs = list(mult_1d)
+        fs[a] = emult_1d[a]
+        fs = [f.astype(raw.dtype) for f in fs]
+        emult.append(fs[2][:, None, None] * fs[1][None, :, None]
+                     * fs[0][None, None, :])
+    ones = jnp.ones(raw.shape[1:], dtype)
+    fields = [f.astype(dtype) for f in
+              (*eoff, *ediag, bcv, diag, mult, *emult)] + [ones]
+    stack = jnp.stack(fields, axis=-1).reshape(nz * ny * nx, 13)
+    b = halo.to_batch(halo.halo_gather(stack, grid_shape, dom_grid, pad))
+    return tuple(b[..., i] for i in range(13))
+
+
 def gather_fields(sd: StructuredDecomposition, dtype=jnp.float32,
                   pad=None) -> LocalFields:
     """Host fields -> device halo-gathered local batches (one upload).
@@ -100,20 +180,24 @@ def gather_fields(sd: StructuredDecomposition, dtype=jnp.float32,
     g = sd.grid
     pad = sd.pad if pad is None else tuple(pad)
 
-    def up(h):
-        a = jnp.asarray(np.asarray(h, np.float64).ravel(), dtype)
-        return halo.to_batch(halo.halo_gather(a, g.shape, sd.dom_grid,
-                                              pad))
-
-    eoff = tuple(up(g.edge_off(a)) for a in range(3))
-    ediag = tuple(up(g.edge_diag(a)) for a in range(3))
-    bcv = up(g.bc_val())
-    diag = up(g.diag())
-    mult = up(sd.node_mult().astype(np.float64))
-    emult = tuple(up(sd.edge_mult(a).astype(np.float64)) for a in range(3))
-    mask = up(np.ones(g.n_nodes)) > 0
-    return LocalFields(eoff=eoff, ediag=ediag, bcv=bcv, diag=diag,
-                       mult=mult, emult=emult, mask=mask,
+    explicit = g.edge_off_ is not None
+    if explicit:
+        raw = np.stack([np.asarray(g.edge_off(a), np.float64)
+                        for a in range(3)]
+                       + [np.asarray(g.edge_diag(a), np.float64)
+                          for a in range(3)]
+                       + [np.asarray(g.bc_val(), np.float64)])
+    else:
+        raw = np.asarray(g.kappa, np.float64)[None]
+    bc_ax = 2 - (g.dim - 1)
+    mult_1d = tuple(jnp.asarray(sd.axis_node_mult(a)) for a in range(3))
+    emult_1d = tuple(jnp.asarray(sd.axis_edge_mult(a)) for a in range(3))
+    parts = _gather_all(jnp.asarray(raw), mult_1d, emult_1d, g.shape,
+                        sd.dom_grid, pad, bc_ax, float(g.inp_eps),
+                        explicit, jnp.dtype(dtype))
+    return LocalFields(eoff=parts[0:3], ediag=parts[3:6], bcv=parts[6],
+                       diag=parts[7], mult=parts[8], emult=parts[9:12],
+                       mask=parts[12] > 0,
                        grid_shape=g.shape, dom_grid=sd.dom_grid, pad=pad)
 
 
@@ -150,8 +234,12 @@ def _edge_ok(mask: jax.Array, a: int):
     return lo, hi, mask[lo] & mask[hi]
 
 
+@jax.jit
 def neumann_stencil(f: LocalFields) -> LocalStencil:
-    """Weighted local Neumann operator (the MatIS local block)."""
+    """Weighted local Neumann operator (the MatIS local block).
+
+    Jitted: one dispatch instead of ~50 eager primitive RPCs (each ~20 ms
+    on a tunneled accelerator)."""
     diag = jnp.zeros_like(f.diag)
     offs = []
     for a in range(3):
@@ -176,6 +264,7 @@ def neumann_stencil(f: LocalFields) -> LocalStencil:
     return LocalStencil(diag=diag, offs=tuple(offs))
 
 
+@jax.jit
 def dirichlet_stencil(f: LocalFields) -> LocalStencil:
     """Assembled-A-restricted-to-box operator (the Dirichlet block)."""
     offs = []
@@ -191,6 +280,7 @@ def dirichlet_stencil(f: LocalFields) -> LocalStencil:
     return LocalStencil(diag=diag, offs=tuple(offs))
 
 
+@partial(jax.jit, static_argnames=("optim",))
 def robin_stencil(f: LocalFields, optim: float) -> LocalStencil:
     """Dirichlet + optim * border-restricted Neumann (ORAS/SORAS)."""
     neu = neumann_stencil(f)

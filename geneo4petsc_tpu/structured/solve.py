@@ -70,7 +70,7 @@ def make_structured_inner(pc: StructuredGenEO, inner_max_it: int = 2000,
         # the refinement loop hands over f32 residuals; run the Krylov
         # iteration in the preconditioner's own dtype (an f64 pc would
         # otherwise promote the while_loop carry mid-iteration)
-        r32 = r32.astype(pc_a.pou.dtype)
+        r32 = r32.astype(pc_a.x0.dtype)   # pou is None for lvl2=0 ASM
         x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
         return solver(pc_a.matvec, r32, pc_a.apply, x0=x0,
                       rtol=rtol, max_it=inner_max_it, **extra)
