@@ -819,16 +819,22 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
 
     # Nicolaides near-kernel test (geneo.cpp:897-955) on the tau pencil:
     # quadratic forms of the constant vector through the stencil operators
-    ones_b = maskf
+    # (one jitted program + one pull of three [n_dom] vectors)
     b_tau = pencils[0][2]
-    num_all = np.asarray(jnp.einsum(
-        "dzyx,dzyx->d", ones_b, neu.matvec(ones_b)), np.float64)
-    den_all = np.asarray(jnp.einsum(
-        "dzyx,dzyx->d", ones_b, b_tau.matvec(ones_b)), np.float64)
+
+    @jax.jit
+    def _nicolaides_forms(neu_, btau_, ones_b):
+        num = jnp.einsum("dzyx,dzyx->d", ones_b, neu_.matvec(ones_b))
+        den = jnp.einsum("dzyx,dzyx->d", ones_b, btau_.matvec(ones_b))
+        nr = jnp.sum(ones_b.reshape(ones_b.shape[0], -1) > 0, axis=1)
+        return num, den, nr
+
+    _num, _den, _nr = _nicolaides_forms(neu, b_tau, maskf)
+    num_all = np.asarray(_num, np.float64)
+    den_all = np.asarray(_den, np.float64)
+    n_real = np.asarray(_nr, np.int64)
     eps64 = np.finfo(np.float64).eps
     eps32 = np.finfo(np.float32).eps
-    n_real = np.asarray(jnp.sum(maskf.reshape(n_dom, -1), axis=1),
-                        np.int64)
 
     nic = np.zeros(n_dom, bool)
     for p in range(n_dom):

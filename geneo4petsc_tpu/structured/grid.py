@@ -223,11 +223,88 @@ class GlobalStencil:
         return y.reshape(x.shape)
 
 
+def derive_stencil_fields(raw, grid_shape, bc_ax, inp_eps, explicit):
+    """Global stencil fields from the raw upload, mirroring the host
+    derivation (StructuredGrid.edge_off/edge_diag/bc_val/diag) op for op
+    and in the same f64 addition order (equal to the host fields up to
+    XLA FMA contraction — observed identical after the f32 downcast on
+    the gathered local fields, ~1 ulp on the f64 diag).
+
+    raw: [1, nz, ny, nx] kappa (explicit=False, laplacian rules) or
+         [7, nz, ny, nx] (eoff x3, ediag x3, bcv)."""
+    nx, ny, nz = grid_shape
+    if explicit:
+        eoff = [raw[a] for a in range(3)]
+        ediag = [raw[3 + a] for a in range(3)]
+        bcv = raw[6]
+    else:
+        kappa = raw[0]
+        eoff, ediag = [], []
+        for a in range(3):
+            n = grid_shape[a]
+            ax = 2 - a
+            if n == 1:
+                z = jnp.zeros_like(kappa)
+                eoff.append(z)
+                ediag.append(z)
+                continue
+            upper = [slice(None)] * 3
+            upper[ax] = slice(n - 1, n)
+            ec = kappa.at[tuple(upper)].set(0.0)
+            eoff.append(-ec)
+            ediag.append((1.0 + inp_eps) * ec)
+        bc_sl = [slice(None)] * 3
+        bc_sl[bc_ax] = slice(0, 1)
+        bcv = jnp.zeros_like(kappa)
+        bcv = bcv.at[tuple(bc_sl)].set(
+            ((1.0 + inp_eps) * kappa)[tuple(bc_sl)])
+    diag = jnp.zeros(raw.shape[1:], raw.dtype)
+    for a in range(3):
+        ax = 2 - a
+        c = ediag[a]
+        diag = diag + c
+        rolled = jnp.roll(c, 1, axis=ax)
+        first = [slice(None)] * 3
+        first[ax] = slice(0, 1)
+        rolled = rolled.at[tuple(first)].set(0.0)   # _not_first mask
+        diag = diag + rolled
+    diag = diag + bcv
+    return tuple(eoff), tuple(ediag), bcv, diag
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "bc_ax", "inp_eps",
+                                   "explicit", "dtype"))
+def _stage_global(raw, grid_shape, bc_ax, inp_eps, explicit, dtype):
+    nx, ny, nz = grid_shape
+    raw = raw.reshape((-1, nz, ny, nx))
+    if explicit:
+        eoff = tuple(raw[a] for a in range(3))
+        diag = raw[3]
+    else:
+        eoff, _ediag, _bcv, diag = derive_stencil_fields(
+            raw, grid_shape, bc_ax, inp_eps, False)
+    return GlobalStencil(diag=diag.astype(dtype),
+                         coeff=tuple(e.astype(dtype) for e in eoff),
+                         grid_shape=grid_shape)
+
+
 def global_stencil(g: StructuredGrid, dtype=jnp.float32) -> GlobalStencil:
-    """Stage the assembled operator fields on the default device."""
-    coeff = tuple(jnp.asarray(g.edge_off(a), dtype) for a in range(3))
-    return GlobalStencil(diag=jnp.asarray(g.diag(), dtype), coeff=coeff,
-                         grid_shape=g.shape)
+    """Stage the assembled operator fields on the default device.
+
+    Kappa-derived grids upload ONE f64 kappa field and derive
+    eoff/diag on device (same f64 op order as the host builder; equal up
+    to XLA FMA contraction of the multiply-adds, ~1 ulp on the diag);
+    explicit-field grids upload eoff x3 + diag stacked.  One upload + one
+    dispatch instead of four."""
+    explicit = g.edge_off_ is not None
+    if explicit:
+        raw = np.stack([np.asarray(g.edge_off(a), np.float64)
+                        for a in range(3)]
+                       + [np.asarray(g.diag(), np.float64)])
+    else:
+        raw = np.asarray(g.kappa, np.float64)[None]
+    return _stage_global(jnp.asarray(raw), g.shape, 2 - (g.dim - 1),
+                         float(g.inp_eps), explicit, jnp.dtype(dtype))
 
 
 def _not_first(shape, axis):

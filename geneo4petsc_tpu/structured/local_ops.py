@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from . import halo
 from .decompose import StructuredDecomposition
+from .grid import derive_stencil_fields as _derive_stencil_fields
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -88,54 +89,6 @@ class LocalFields:
     grid_shape: tuple
     dom_grid: tuple
     pad: tuple
-
-
-def _derive_stencil_fields(raw, grid_shape, bc_ax, inp_eps, explicit):
-    """Global stencil fields from the raw upload, mirroring the host
-    derivation (StructuredGrid.edge_off/edge_diag/bc_val/diag) op for op
-    and in the same f64 addition order, so the f32 downcast matches the
-    host-built fields bitwise on exact-f64 backends.
-
-    raw: [1, nz, ny, nx] kappa (explicit=False, laplacian rules) or
-         [7, nz, ny, nx] (eoff x3, ediag x3, bcv)."""
-    nx, ny, nz = grid_shape
-    if explicit:
-        eoff = [raw[a] for a in range(3)]
-        ediag = [raw[3 + a] for a in range(3)]
-        bcv = raw[6]
-    else:
-        kappa = raw[0]
-        eoff, ediag = [], []
-        for a in range(3):
-            n = grid_shape[a]
-            ax = 2 - a
-            if n == 1:
-                z = jnp.zeros_like(kappa)
-                eoff.append(z)
-                ediag.append(z)
-                continue
-            upper = [slice(None)] * 3
-            upper[ax] = slice(n - 1, n)
-            ec = kappa.at[tuple(upper)].set(0.0)
-            eoff.append(-ec)
-            ediag.append((1.0 + inp_eps) * ec)
-        bc_sl = [slice(None)] * 3
-        bc_sl[bc_ax] = slice(0, 1)
-        bcv = jnp.zeros_like(kappa)
-        bcv = bcv.at[tuple(bc_sl)].set(
-            ((1.0 + inp_eps) * kappa)[tuple(bc_sl)])
-    diag = jnp.zeros(raw.shape[1:], raw.dtype)
-    for a in range(3):
-        ax = 2 - a
-        c = ediag[a]
-        diag = diag + c
-        rolled = jnp.roll(c, 1, axis=ax)
-        first = [slice(None)] * 3
-        first[ax] = slice(0, 1)
-        rolled = rolled.at[tuple(first)].set(0.0)   # _not_first mask
-        diag = diag + rolled
-    diag = diag + bcv
-    return tuple(eoff), tuple(ediag), bcv, diag
 
 
 @partial(jax.jit,
@@ -201,13 +154,10 @@ def gather_fields(sd: StructuredDecomposition, dtype=jnp.float32,
                        grid_shape=g.shape, dom_grid=sd.dom_grid, pad=pad)
 
 
-def slice_inner(f: LocalFields, sd: StructuredDecomposition) -> LocalFields:
-    """View of dilated fields (gathered at sd.pad + 1) on the sd.pad
-    window — one halo gather serves both geometries."""
-    sl = [slice(None)]
-    for a in (2, 1, 0):                    # array axes z, y, x
-        sl.append(slice(1, -1) if sd.pad[a] else slice(None))
-    sl = tuple(sl)
+@partial(jax.jit, static_argnames=("pads", "out_pad"))
+def _slice_inner_jit(f: LocalFields, pads, out_pad) -> LocalFields:
+    sl = (slice(None),) + tuple(slice(1, -1) if p else slice(None)
+                                for p in pads)
 
     def cut(x):
         return x[sl]
@@ -219,7 +169,14 @@ def slice_inner(f: LocalFields, sd: StructuredDecomposition) -> LocalFields:
                        emult=tuple(cut(e) for e in f.emult),
                        mask=cut(f.mask),
                        grid_shape=f.grid_shape, dom_grid=f.dom_grid,
-                       pad=sd.pad)
+                       pad=out_pad)
+
+
+def slice_inner(f: LocalFields, sd: StructuredDecomposition) -> LocalFields:
+    """View of dilated fields (gathered at sd.pad + 1) on the sd.pad
+    window — one halo gather serves both geometries.  Jitted: 13 eager
+    slices are 13 RPC round trips on a tunneled accelerator."""
+    return _slice_inner_jit(f, (sd.pad[2], sd.pad[1], sd.pad[0]), sd.pad)
 
 
 def _edge_ok(mask: jax.Array, a: int):
