@@ -121,7 +121,9 @@ def bench_structured(size, dom_g, overlap):
     # wildly weather-dependent); steady pass: every executable resident,
     # the wall is actual device compute + transfers.  Setup (LOBPCG, Z,
     # E, factors) and solve re-run IN FULL — nothing numerical is reused.
-    cold = run_once("cold")
+    cold = run_once("cold").timers
+    import gc
+    gc.collect()                  # drop the cold pass's device buffers
     out = run_once("steady")
 
     n = grid.n_nodes
@@ -160,10 +162,10 @@ def bench_structured(size, dom_g, overlap):
         "rhs_s": round(out.timers.get("createA"), 3),
         "generator_s": round(t_gen, 3),
         "eig_s": round(out.timers.get("l2_eig"), 3),
-        "cold_setup_s": round(cold.timers.get("setup"), 3),
-        "cold_solve_s": round(cold.timers.get("solve"), 3),
-        "cold_value": round((cold.timers.get("setup")
-                             + cold.timers.get("solve")) / mdof, 3),
+        "cold_setup_s": round(cold.get("setup"), 3),
+        "cold_solve_s": round(cold.get("solve"), 3),
+        "cold_value": round((cold.get("setup")
+                             + cold.get("solve")) / mdof, 3),
         "device": str(__import__("jax").devices()[0]),
     }
 
@@ -213,7 +215,9 @@ def bench_nonsep(size, dom_g, overlap):
             {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
         return out
 
-    cold = run_once("cold")      # pays compile-service RPCs (see 10m mode)
+    cold = run_once("cold").timers   # pays compile-service RPCs (10m mode)
+    import gc
+    gc.collect()                  # drop the cold pass's device buffers
     out = run_once("steady")
 
     import jax.numpy as jnp
@@ -246,10 +250,10 @@ def bench_nonsep(size, dom_g, overlap):
         "rhs_s": round(out.timers.get("createA"), 3),
         "generator_s": round(t_gen, 3),
         "eig_s": round(out.timers.get("l2_eig"), 3),
-        "cold_setup_s": round(cold.timers.get("setup"), 3),
-        "cold_solve_s": round(cold.timers.get("solve"), 3),
-        "cold_value": round((cold.timers.get("setup")
-                             + cold.timers.get("solve")) / (n / 1e6), 3),
+        "cold_setup_s": round(cold.get("setup"), 3),
+        "cold_solve_s": round(cold.get("solve"), 3),
+        "cold_value": round((cold.get("setup")
+                             + cold.get("solve")) / (n / 1e6), 3),
         "device": str(jax.devices()[0]),
     }
 
@@ -302,7 +306,9 @@ def bench_elastic(size, dom_g, overlap):
             {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
         return out
 
-    cold = run_once("cold")      # pays compile-service RPCs (see 10m mode)
+    cold = run_once("cold").timers   # pays compile-service RPCs (10m mode)
+    import gc
+    gc.collect()                  # drop the cold pass's device buffers
     out = run_once("steady")
 
     import jax.numpy as jnp
@@ -334,10 +340,10 @@ def bench_elastic(size, dom_g, overlap):
         "rhs_s": round(out.timers.get("createA"), 3),
         "generator_s": round(t_gen, 3),
         "eig_s": round(out.timers.get("l2_eig"), 3),
-        "cold_setup_s": round(cold.timers.get("setup"), 3),
-        "cold_solve_s": round(cold.timers.get("solve"), 3),
-        "cold_value": round((cold.timers.get("setup")
-                             + cold.timers.get("solve")) / (n / 1e6), 3),
+        "cold_setup_s": round(cold.get("setup"), 3),
+        "cold_solve_s": round(cold.get("solve"), 3),
+        "cold_value": round((cold.get("setup")
+                             + cold.get("solve")) / (n / 1e6), 3),
         "device": str(jax.devices()[0]),
     }
 

@@ -527,6 +527,16 @@ class ElasticGenEO:
 
 # ===================== setup =====================
 
+@partial(jax.jit, static_argnames=("grid_shape", "dom_grid", "pad"))
+def _gather_stack(raw, grid_shape, dom_grid, pad):
+    """[F, N] stacked global fields -> F+1 batched local boxes (last =
+    gathered ones mask), one dispatch."""
+    ones = jnp.ones((1, raw.shape[1]), raw.dtype)
+    stack = jnp.concatenate([raw, ones], 0).T
+    b = halo.to_batch(halo.halo_gather(stack, grid_shape, dom_grid, pad))
+    return tuple(b[..., i] for i in range(raw.shape[0] + 1))
+
+
 def _geom(g: ElasticGrid, dom_grid, overlap) -> StructuredDecomposition:
     """Node-grid box decomposition (geometry only; kappa unused)."""
     nx, ny, nz = g.shape
@@ -579,12 +589,9 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
 
     _t = _time.perf_counter()
 
-    def up(h, pad):
-        a = jnp.asarray(np.asarray(h, np.float64).ravel(), dtype)
-        return halo.to_batch(halo.halo_gather(a, gshape, sd.dom_grid,
-                                              pad))
-
-    # cell-weight fields (node-embedded at the cell's lower corner)
+    # cell-weight fields (node-embedded at the cell's lower corner);
+    # ONE stacked upload + one jitted gather per pad geometry instead of
+    # nine eager upload+gather round trips (each ~2 s on the tunnel)
     ecn = g.cell_node_field()
     em = [sd.axis_edge_mult(a).astype(np.float64) for a in range(3)]
     cmult = em[2][:, None, None] * em[1][None, :, None] \
@@ -592,16 +599,24 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     ecn_w = np.where(cmult > 0, ecn / np.maximum(cmult, 1.0), 0.0)
     bcd = g.bc_diag()
     nm = sd.node_mult().astype(np.float64)
-
-    cw_dil = up(ecn, pad1)[:, :-1, :-1, :-1]
-    cw_inner = up(ecn, sd.pad)[:, :-1, :-1, :-1]
-    cw_neu = up(ecn_w, sd.pad)[:, :-1, :-1, :-1]
-    bc_dir_dil = up(bcd, pad1)
-    bc_dir = up(bcd, sd.pad)
-    bc_neu = up(np.where(nm > 0, bcd / np.maximum(nm, 1.0), 0.0), sd.pad)
-    mult = up(nm, sd.pad)
-    maskf = up(np.ones(g.n_nodes), sd.pad)
-    maskd = up(np.ones(g.n_nodes), pad1)
+    bcn = np.where(nm > 0, bcd / np.maximum(nm, 1.0), 0.0)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    raw = np.empty((5, g.n_nodes), np_dtype)
+    for i, h in enumerate((ecn, ecn_w, bcd, bcn, nm)):
+        raw[i] = np.asarray(h, np.float64).ravel()
+    raw_dev = jnp.asarray(raw)
+    d1 = _gather_stack(raw_dev, gshape, sd.dom_grid, pad1)
+    d2 = _gather_stack(raw_dev, gshape, sd.dom_grid, sd.pad)
+    del raw_dev
+    cw_dil = d1[0][:, :-1, :-1, :-1]
+    bc_dir_dil = d1[2]
+    maskd = d1[5]
+    cw_inner = d2[0][:, :-1, :-1, :-1]
+    cw_neu = d2[1][:, :-1, :-1, :-1]
+    bc_dir = d2[2]
+    bc_neu = d2[3]
+    mult = d2[4]
+    maskf = d2[5]
     k0d = jnp.asarray(g.k0, dtype)
     gop = elastic_op(g, dtype)
     _vlog("fields gathered")
