@@ -43,6 +43,9 @@ class Decomposition:
     elem_mult: np.ndarray   # [n_elems] int64
     intersections: list     # [n_dom][n_dom] int64 arrays of LOCAL indices
     adj: np.ndarray | None = None  # [n_dom, n_dom] bool, cached adjacency
+    # non-overlapped node ownership (the metis assignment) — consumed by
+    # parallel/dist.py to pick halo-minimal owner blocks
+    node_part: np.ndarray | None = None  # [n_nodes] int64
 
     def adjacency(self) -> np.ndarray:
         """Boolean domain-intersection adjacency (diagonal False), derived
@@ -154,7 +157,7 @@ def decompose(mesh: ElementMesh, elem_part: np.ndarray, node_part: np.ndarray,
                          add_overlap=add_overlap, elem_doms=elem_doms,
                          dom_nodes=dom_nodes, node_mult=node_mult,
                          elem_mult=elem_mult, intersections=intersections,
-                         adj=adj)
+                         adj=adj, node_part=np.asarray(node_part, np.int64))
 
 
 def decompose_nodal_fast(mesh: ElementMesh, node_part: np.ndarray,
@@ -220,7 +223,8 @@ def decompose_nodal_fast(mesh: ElementMesh, node_part: np.ndarray,
     return Decomposition(mesh=mesh, n_dom=n_dom, metis_dual=False,
                          add_overlap=0, elem_doms=elem_doms,
                          dom_nodes=dom_nodes, node_mult=node_mult,
-                         elem_mult=elem_mult, intersections=inter)
+                         elem_mult=elem_mult, intersections=inter,
+                         node_part=np.asarray(node_part, np.int64))
 
 
 def _ranges(sizes: np.ndarray) -> np.ndarray:

@@ -105,11 +105,16 @@ def test_eigensolver_residual_wrng_and_check(tmp_path, monkeypatch):
     per-domain EPS state (checkEPSSolve, geneo.cpp:577-624)."""
     monkeypatch.chdir(tmp_path)
     buf = io.StringIO()
+    # -els2_eps_tol is pinned BELOW the 1-iteration residual floor: the
+    # kept-pair residual magnitude is platform-dependent (f64 CPU LOBPCG
+    # leaves ~1e-9, f32 TPU ~1e-2), and the point here is the WRNG/chk
+    # plumbing, not the numeric value
     args = ["--inpLibA", "laplacian", "--inpLibArg",
             "--size#16#--dim#2#--kappa#100000.#quad", "--nbPart", "4",
             "-pc_type", "geneo", "-geneo_lvl", "ASM,1",
             "-geneo_cut", "2", "-els2_type", "lobpcg",
-            "-els2_max_it", "1", "-ksp_max_it", "500"]
+            "-els2_max_it", "1", "-els2_eps_tol", "1e-12",
+            "-ksp_max_it", "500"]
     rc = cli.run(args, out=buf)
     assert rc == 0
     assert "WRNG: eigensolver residual" in buf.getvalue()
