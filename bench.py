@@ -411,14 +411,14 @@ def bench_generic(size, n_grid, large):
 
     t0 = time.perf_counter()
     r0 = refined_solve(None, None, b, residual64, tol=1e-8,
-                       max_outer=8, inner_solver=inner)
+                       max_outer=14, inner_solver=inner)
     t_compile_and_first = time.perf_counter() - t0
     del r0
 
     _log("warm solve done; timing solve")
     t0 = time.perf_counter()
     r = refined_solve(None, None, b, residual64, tol=1e-8,
-                      max_outer=8, inner_solver=inner)
+                      max_outer=14, inner_solver=inner)
     t_solve = time.perf_counter() - t0
     _log("done")
 

@@ -394,9 +394,11 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
     from .structured.grid import heat_grid, laplacian_grid
     from .structured.solve import solve_structured
 
-    if pc_type != "geneo" or drv.inp_lib_a not in ("laplacian", "heat"):
-        print("Error: --structured requires --inpLibA laplacian|heat and "
-              "-pc_type geneo", file=sys.stderr)
+    if pc_type != "geneo" or drv.inp_lib_a not in ("laplacian", "heat",
+                                                   "elasticity"):
+        print("Error: --structured requires --inpLibA "
+              "laplacian|heat|elasticity and -pc_type geneo",
+              file=sys.stderr)
         return 1
     try:
         dom_grid = tuple(int(t) for t in drv.structured.split(","))
@@ -408,34 +410,56 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
 
     opt = _grid.parse_args(drv.inp_lib_arg.replace("#", " "), {
         "size": int, "weakScaling": int, "dim": int, "inpEps": float,
-        "kappa": tuple, "lbd": float, "dt": float,
-        "verbose": bool, "debug": bool,
+        "kappa": tuple, "lbd": float, "dt": float, "nu": float,
+        "spring": float, "verbose": bool, "debug": bool,
     })
     kappa_max, interp = opt.get("kappa", (1.0, ""))
-    if drv.inp_lib_a == "heat":
-        grid = heat_grid(opt.get("size", 4), dim=opt.get("dim", 3),
-                         kappa_max=kappa_max, interp=interp,
-                         inp_eps=opt.get("inpEps", drv.inp_eps),
-                         lbd=opt.get("lbd", 1.0), dt=opt.get("dt", 0.1),
-                         weak_scaling=opt.get("weakScaling", 1))
-    else:
-        grid = laplacian_grid(opt.get("size", 4), dim=opt.get("dim", 3),
-                              kappa_max=kappa_max, interp=interp,
-                              inp_eps=opt.get("inpEps", drv.inp_eps),
-                              weak_scaling=opt.get("weakScaling", 1))
     overlap = max(drv.add_overlap, 1)
     timers = Timers()
-    res = solve_structured(grid, dom_grid, overlap, geneo=gen, ksp=ksp,
-                           tol=ksp.rtol, timers=timers)
+    if drv.inp_lib_a == "elasticity":
+        # 3-D Q1 vector backend (structured/elastic.py); refined
+        # flexible CG only (the level-1 solves are inexact PCG)
+        if ksp.type != "cg":
+            print("Error: --structured elasticity supports -ksp_type cg",
+                  file=sys.stderr)
+            return 1
+        from .structured.elastic import elastic_grid, solve_elastic
+        grid = elastic_grid(opt.get("size", 4), kappa_max=kappa_max,
+                            interp=interp, nu=opt.get("nu", 0.3),
+                            spring=opt.get("spring", 1.0))
+        res = solve_elastic(grid, dom_grid, overlap, opts=gen,
+                            tol=ksp.rtol, timers=timers)
+        nx, ny, nz = grid.shape
+        n_elems = (nx - 1) * (ny - 1) * (nz - 1) + 3 * nx * ny
+        nnz = 9 * (3 * nx - 2) * (3 * ny - 2) * (3 * nz - 2)
+        n_dof_line = grid.n_dof
+    else:
+        if drv.inp_lib_a == "heat":
+            grid = heat_grid(opt.get("size", 4), dim=opt.get("dim", 3),
+                             kappa_max=kappa_max, interp=interp,
+                             inp_eps=opt.get("inpEps", drv.inp_eps),
+                             lbd=opt.get("lbd", 1.0),
+                             dt=opt.get("dt", 0.1),
+                             weak_scaling=opt.get("weakScaling", 1))
+        else:
+            grid = laplacian_grid(
+                opt.get("size", 4), dim=opt.get("dim", 3),
+                kappa_max=kappa_max, interp=interp,
+                inp_eps=opt.get("inpEps", drv.inp_eps),
+                weak_scaling=opt.get("weakScaling", 1))
+        res = solve_structured(grid, dom_grid, overlap, geneo=gen,
+                               ksp=ksp, tol=ksp.rtol, timers=timers)
+        n_edges = sum((grid.shape[a] - 1)
+                      * (grid.n_nodes // max(grid.shape[a], 1))
+                      for a in range(grid.dim))
+        n_bc = grid.n_nodes // grid.shape[grid.dim - 1]
+        n_elems = n_edges + n_bc
+        nnz = grid.n_nodes + 2 * n_edges
+        n_dof_line = grid.n_nodes
 
-    nx, ny, nz = grid.shape
-    n_edges = sum((grid.shape[a] - 1)
-                  * (grid.n_nodes // max(grid.shape[a], 1))
-                  for a in range(grid.dim))
-    n_bc = grid.n_nodes // grid.shape[grid.dim - 1]
     mode = f"structured {dom_grid[0]}x{dom_grid[1]}x{dom_grid[2]}"
-    print(f"INFO: nb DOFs {grid.n_nodes}, nb elements {n_edges + n_bc}, "
-          f"nnz coefs {grid.n_nodes + 2 * n_edges}, "
+    print(f"INFO: nb DOFs {n_dof_line}, nb elements {n_elems}, "
+          f"nnz coefs {nnz}, "
           f"nb partitions {res.n_dom}, overlap {overlap}, {mode}",
           file=out)
     print(f"INFO: {ksp.type} ksp, eps rel {ksp.rtol:.1e}, "

@@ -80,7 +80,7 @@ def make_pc_inner_solver(pc, inner_max_it: int = 2000,
 
 def refined_solve_device(op64, b64, inner_solver: Callable,
                          tol: float = 1e-8, inner_rtol: float = 1e-5,
-                         max_outer: int = 8,
+                         max_outer: int = 14,
                          x0=None) -> RefinedResult:
     """Device-resident mixed-precision refinement.
 
@@ -123,12 +123,20 @@ def refined_solve_device(op64, b64, inner_solver: Callable,
     inner_total = 0
     history = []
     converged = False
+    best_x, best_rel = x, np.inf
     for outer in range(max_outer):
         r, rn = _residual(op64, b64, x)
         rel = float(rn) / bnorm
         history.append(rel)
+        if np.isfinite(rel) and rel < best_rel:
+            best_x, best_rel = x, rel
         if rel <= tol:
             converged = True
+            break
+        if not np.isfinite(rel):
+            # the inner correction diverged hard (indefinite PC, PETSc
+            # KSP_DIVERGED_INDEFINITE_PC analogue): keep the best finite
+            # iterate instead of compounding garbage updates
             break
         need = 0.3 * tol / rel
         rtol_k = float(np.clip(need, inner_rtol, 0.499))
@@ -140,10 +148,16 @@ def refined_solve_device(op64, b64, inner_solver: Callable,
         _r, rn = _residual(op64, b64, x)
         rel = float(rn) / bnorm
         history.append(rel)
+        if np.isfinite(rel) and rel < best_rel:
+            best_x, best_rel = x, rel
         converged = rel <= tol
 
+    if not converged and np.isfinite(best_rel):
+        x, rel_out = best_x, best_rel
+    else:
+        rel_out = history[-1]
     return RefinedResult(x=x, outer_its=outer, inner_its=inner_total,
-                         true_res=float(history[-1]), converged=converged,
+                         true_res=float(rel_out), converged=converged,
                          history=history)
 
 
@@ -153,7 +167,7 @@ def refined_solve(matvec32: Callable, pc_apply32: Callable | None,
                   tol: float = 1e-8,
                   inner_rtol: float = 1e-6,
                   inner_max_it: int = 2000,
-                  max_outer: int = 8,
+                  max_outer: int = 14,
                   ksp_type: str = "cg",
                   x0: np.ndarray | None = None,
                   inner_solver: Callable | None = None) -> RefinedResult:
@@ -177,14 +191,20 @@ def refined_solve(matvec32: Callable, pc_apply32: Callable | None,
     inner_total = 0
     history = []
     converged = False
+    best_x, best_rel = x, np.inf
     for outer in range(max_outer):
         _t0 = _time.perf_counter()
         r = residual64(x)
         rel = np.linalg.norm(r) / bnorm
         _t1 = _time.perf_counter()
         history.append(rel)
+        if np.isfinite(rel) and rel < best_rel:
+            best_x, best_rel = x, rel
         if rel <= tol:
             converged = True
+            break
+        if not np.isfinite(rel):
+            # diverged inner correction (indefinite PC): stop compounding
             break
         # adaptive inner tolerance: only ask the f32 solve for the reduction
         # still needed (with safety margin), floored at the f32-roundoff
@@ -206,8 +226,14 @@ def refined_solve(matvec32: Callable, pc_apply32: Callable | None,
         r = residual64(x)
         rel = np.linalg.norm(r) / bnorm
         history.append(rel)
+        if np.isfinite(rel) and rel < best_rel:
+            best_x, best_rel = x, rel
         converged = rel <= tol
 
+    if not converged and np.isfinite(best_rel):
+        x, rel_out = best_x, best_rel
+    else:
+        rel_out = history[-1]
     return RefinedResult(x=x, outer_its=outer, inner_its=inner_total,
-                         true_res=float(history[-1]), converged=converged,
+                         true_res=float(rel_out), converged=converged,
                          history=history)

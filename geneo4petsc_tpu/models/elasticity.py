@@ -57,17 +57,58 @@ def q1_plane_strain_stiffness(e_mod: float, nu: float) -> np.ndarray:
     return k
 
 
+def _get_input_3d(n: int, nu: float, e_mod: float, kappa_max: float,
+                  interp: str, spring: float) -> ElementMesh:
+    """3-D Q1 hexahedral elasticity (3 DOF/node, z = 0 face clamped) —
+    the element-list twin of structured/elastic.py's ElasticGrid, so the
+    generic dense path can cross-validate the vector scale backend."""
+    from ..structured.elastic import _CORNERS, q1_hex_stiffness
+
+    alpha, beta = _grid.init_kappa(n, interp, kappa_max)
+    k_ref = q1_hex_stiffness(e_mod, nu)
+    pr = np.array([_grid.compute_kappa(interp, alpha, i + 0.5, beta)
+                   for i in range(n - 1)])
+
+    def gid(i: int, j: int, k: int) -> int:
+        return i + n * (j + n * k)
+
+    elem_dofs: list[np.ndarray] = []
+    elem_mats: list[np.ndarray] = []
+    for k in range(n - 1):
+        for j in range(n - 1):
+            for i in range(n - 1):
+                nodes = [gid(i + dx, j + dy, k + dz)
+                         for dx, dy, dz in _CORNERS]
+                dofs = np.array([[3 * g, 3 * g + 1, 3 * g + 2]
+                                 for g in nodes]).ravel()
+                elem_dofs.append(dofs)
+                elem_mats.append(pr[k] * pr[j] * pr[i] * k_ref)
+    # clamp the z = 0 face: ghost springs on all three components
+    for j in range(n):
+        for i in range(n):
+            for c in range(3):
+                elem_dofs.append(np.array([3 * gid(i, j, 0) + c]))
+                elem_mats.append(np.array([[spring]]))
+    return from_lists(elem_dofs, elem_mats)
+
+
 def get_input(args: str = "") -> ElementMesh:
     opt = _grid.parse_args(args, {
-        "size": int, "weakScaling": int, "nu": float, "E": float,
-        "kappa": tuple, "spring": float, "verbose": bool,
+        "size": int, "weakScaling": int, "dim": int, "nu": float,
+        "E": float, "kappa": tuple, "spring": float, "verbose": bool,
     })
     size = opt.get("size", 8)
     weak = opt.get("weakScaling", 1)
+    dim = opt.get("dim", 2)
     nu = opt.get("nu", 0.3)
     e_mod = opt.get("E", 1.0)
     kappa_max, interp = opt.get("kappa", (1.0, ""))
     spring = opt.get("spring", 1.0)
+    if dim == 3:
+        return _get_input_3d(_grid.grid_size(size, weak, 3), nu, e_mod,
+                             kappa_max, interp, spring)
+    if dim != 2:
+        raise ValueError("elasticity generator: --dim must be 2 or 3")
 
     n = _grid.grid_size(size, weak, 2)
     alpha, beta = _grid.init_kappa(n, interp, kappa_max)

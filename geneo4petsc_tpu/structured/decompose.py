@@ -194,15 +194,19 @@ class StructuredDecomposition:
 
     # ---------------- generic-path adapter (testing / parity) ----------------
 
-    def to_generic(self, mesh):
+    def to_generic(self, mesh, ncomp: int = 1):
         """Materialize a generic partition.decompose.Decomposition with the
         SAME membership semantics (edge in domain iff both endpoints in the
         dilated box), so the dense-block path can cross-validate the
-        structured kernels on small grids."""
+        structured kernels on small grids.
+
+        ``ncomp``: DOFs per grid node (3 for the vector elasticity backend
+        — mesh ids are then dof = ncomp * node + c, component fastest, the
+        layout of structured/elastic.py)."""
         from ..partition.decompose import Decomposition
 
         nx, ny, nz = self.grid.shape
-        n_nodes = self.grid.n_nodes
+        n_nodes = self.grid.n_nodes * ncomp
 
         # decode every mesh element's node set -> coordinates
         sizes = np.diff(mesh.elem_ptr)
@@ -214,8 +218,8 @@ class StructuredDecomposition:
             px, py, pz = self.dom_pos(d)
             lo = np.array(self.dom_lo(d))
             hi = lo + np.array(self.local_shape)
-            # node membership
-            ids = np.arange(n_nodes)
+            # node membership (per DOF: a dof lives where its node does)
+            ids = np.arange(n_nodes) // ncomp
             cx, cy, cz = ids % nx, (ids // nx) % ny, ids // (nx * ny)
             inbox = ((cx >= lo[0]) & (cx < hi[0]) & (cy >= lo[1])
                      & (cy < hi[1]) & (cz >= lo[2]) & (cz < hi[2]))

@@ -24,12 +24,17 @@ structured-grid equivalent for trilinear (Q1) hexahedral elasticity with
   * GenEO-1       — matrix-free batched LOBPCG on (A_Neu, D A_Dir D); the
     coarse space picks up each floating subdomain's six rigid-body modes
     (3 translations + 3 rotations) plus the high-contrast modes;
+  * GenEO-2       — the (A_Neu, A_Rob) tau pencil and the swapped
+    (A_Rob, D A_Dir D) gamma pencil ((19)/(21) of R4,
+    src/geneo.cpp:1274-1301) with adaptive tauLoc/gammaLoc, through the
+    same run_pencil conventions as the scalar backend; an exact dense
+    batched-eigh route (identity-probed pencils) serves test scale;
   * E = Z^T A Z   — the same per-offset window contractions as the scalar
     backend (structured/geneo.py:_coarse_e, component-axis aware).
 
 Supported PC family: lvl1 in {ASM, RAS, SRAS, ORAS, SORAS} (Robin =
 Dirichlet + optim * border-restricted Neumann, matrix-free), lvl2 in
-{0, 1, H1, E1}.
+{0, 1, H1, E1, 2, H2, E2} — the full reference matrix.
 """
 
 from __future__ import annotations
@@ -45,7 +50,8 @@ import jax.numpy as jnp
 
 from ..config import GenEOOptions
 from ..ops.lobpcg import matfree_lobpcg
-from ..precond.geneo import GenEOStats, factor_e, prune_dependent_columns
+from ..precond.geneo import (GenEOStats, _gamma_loc, factor_e,
+                             prune_dependent_columns)
 from . import halo, solvers
 from . import local_ops as lo
 from .decompose import StructuredDecomposition
@@ -555,9 +561,6 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     import time as _time
     from .geneo import finalize_coarse
     opts.validate()
-    if opts.lvl2_num == 2:
-        raise ValueError("elastic backend: GenEO-2 not wired yet "
-                         "(GenEO-1/H1/E1 supported)")
     _dbg = _os.environ.get("GENEO_SETUP_VERBOSE") == "1"
     _t0 = _time.perf_counter()
 
@@ -638,12 +641,12 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     # level-1 solver: inexact surrogate-preconditioned PCG (no exact
     # route exists for 27-point block stencils — the MUMPS equivalent is
     # approximated; pair with flexible CG outer)
-    if opts.lvl1_oras:
+    rob_op = None
+    if opts.lvl1_oras or opts.lvl2_num == 2:
         border = ((mult > 1.0) & (maskf > 0)).astype(dtype)
-        l1_op = RobinOp(dir_op=dir_wrap, neu_op=neu_op, border=border,
-                        optim=jnp.asarray(opts.optim, dtype))
-    else:
-        l1_op = dir_wrap
+        rob_op = RobinOp(dir_op=dir_wrap, neu_op=neu_op, border=border,
+                         optim=jnp.asarray(opts.optim, dtype))
+    l1_op = rob_op if opts.lvl1_oras else dir_wrap
     # 1-wide component axis: broadcasting inside the solvers replaces a
     # materialized [d, wz, wy, wx, 3] mask (455 MB at the 10M bench)
     maskf3 = maskf[..., None].astype(dtype)
@@ -671,11 +674,14 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
             x0=jnp.zeros(g.n_dof, dtype), l1_exact=False)
         return pc, stats
 
-    # ----- GenEO-1 eigensolve: (A_Neu, D A_Dir D) <= tau -----
+    # ----- GenEO eigensolves -----
+    # GenEO-1: (A_Neu, D A_Dir D) <= tau               (Def 7.14 of R1)
+    # GenEO-2: (A_Neu, A_Rob) <= tauLoc ((19) of R4) and the swapped
+    #          gamma pencil (A_Rob, D A_Dir D), mu <= 1/gammaLoc ((21) of
+    #          R4) — the scalar backend's conventions
+    #          (structured/geneo.py) on vector-component fields.
     _t = _time.perf_counter()
     b_dad = PouSandwich(op=dir_wrap, d=pou_b)
-    t_sur = VecFDM(_scalar_surrogate(g, cw_neu, bc_neu, maskf,
-                                     float(opts.tau), dtype))
     max_it = min(int(opts.els2.max_it), 400) \
         if opts.els2.max_it < 10000 else 100
     box = (n_dom, sz, sy, sx, 3, -1)
@@ -710,31 +716,35 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
 
     rigid0 = _rigid_block()
 
-    @partial(jax.jit, static_argnames=("k",))
-    def run_lobpcg(neu_, bdad_, tsur_, maskc_, rigid_, k, x0_prev=None):
+    @partial(jax.jit, static_argnames=("k", "seed_rigid"))
+    def run_lobpcg(a_t, b_t, t_t, maskc_, rigid_, k, seed_rigid=True,
+                   x0_prev=None):
         # batch size from the (possibly chunk-sliced) arguments
         dd = maskc_.shape[0]
         boxc = (dd,) + box[1:]
         flatc = (dd,) + flat[1:]
 
         def a_op(v):
-            return neu_.matvec(v.reshape(boxc)).reshape(flatc)
+            return a_t.matvec(v.reshape(boxc)).reshape(flatc)
 
         def b_op(v):
-            return bdad_.matvec(v.reshape(boxc)).reshape(flatc)
+            return b_t.matvec(v.reshape(boxc)).reshape(flatc)
 
         def t_op(v):
-            w = tsur_.solve(v.reshape(boxc))
+            w = t_t.solve(v.reshape(boxc))
             return w.reshape(flatc) * maskc_[..., None]
 
         d = maskc_.shape[0]          # chunked batch size
         x0 = jax.random.normal(jax.random.PRNGKey(0),
                                (d, n_loc3, k), dtype)
         x0 = t_op(x0 * maskc_[..., None])
-        nr = min(6, k)
-        x0 = x0.at[..., :nr].set(
-            jnp.broadcast_to(rigid_[..., :nr],
-                             (d, n_loc3, nr)) * maskc_[..., None])
+        if seed_rigid:
+            # rigid modes are exact near-kernel of the tau pencils'
+            # A_Neu; the gamma pencil's extremal vectors are unrelated
+            nr = min(6, k)
+            x0 = x0.at[..., :nr].set(
+                jnp.broadcast_to(rigid_[..., :nr],
+                                 (d, n_loc3, nr)) * maskc_[..., None])
         if x0_prev is not None:
             x0 = x0.at[..., :x0_prev.shape[-1]].set(x0_prev)
         return matfree_lobpcg(a_op, b_op, t_op, x0, max_it=max_it,
@@ -759,14 +769,14 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
             if getattr(a, "ndim", 0) >= 1 and a.shape[0] == have
             else a, t1, t2)
 
-    def run_all(k, x0_prev=None):
+    def run_all(a_t, b_t, t_t, k, seed_rigid=True, x0_prev=None):
         n_cells3 = (sz - 1) * (sy - 1) * (sx - 1) * 24
         per_dom = (n_loc3 * 16 + n_cells3 * 8) * (3 * k) * 4
         chunk = int(np.clip(budget // max(per_dom, 1), 1, n_dom))
         if chunk >= n_dom:
-            return run_lobpcg(neu_op, b_dad, t_sur, maskc, rigid0, k,
-                              x0_prev=x0_prev)
-        trees = (neu_op, b_dad, t_sur, maskc, x0_prev)
+            return run_lobpcg(a_t, b_t, t_t, maskc, rigid0, k,
+                              seed_rigid=seed_rigid, x0_prev=x0_prev)
+        trees = (a_t, b_t, t_t, maskc, x0_prev)
         n_chunks = (n_dom + chunk - 1) // chunk
         parts = []
         for ci in range(n_chunks):
@@ -777,57 +787,164 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
                 args = [_cat(a, _slice(t, 0, pad_n), hi_i - lo_i)
                         for a, t in zip(args, trees)]
             out = run_lobpcg(args[0], args[1], args[2], args[3], rigid0,
-                             k, x0_prev=args[4])
+                             k, seed_rigid=seed_rigid, x0_prev=args[4])
             jax.block_until_ready(out[0])
             parts.append(tuple(o[:hi_i - lo_i] for o in out))
             _vlog(f"lobpcg chunk {ci + 1}/{n_chunks} (k={k}) done")
         return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
                      for i in range(3))
 
-    # tau-adaptive growth with warm restart; elasticity floats carry >= 6
-    # rigid modes, so start at 8 (3 translations + 3 rotations + margin)
-    k_cand = opts.cut if opts.cut > 0 else 8
-    k_cand = min(k_cand, n_loc3)
-    x_prev = None
-    while True:
-        w, v, res = run_all(k_cand, x0_prev=x_prev)
+    def dense_pencil(a_t, b_t, steer, flip):
+        """Materialize the batched pencil from the cell-sum matvecs
+        (identity probe — test scale only) and solve with the exact
+        batched eigh: the scalar backend's dense route
+        (structured/geneo.py dense_pencil) on vector-component fields.
+        Pad slots are decoupled rows; ``steer`` pins their eigenvalues
+        outside the kept window."""
+        eye = jnp.broadcast_to(
+            jnp.eye(n_loc3, dtype=dtype), (n_dom, n_loc3, n_loc3))
+        box6 = (n_dom, sz, sy, sx, 3, n_loc3)
+        a_d = a_t.matvec(eye.reshape(box6)).reshape(
+            n_dom, n_loc3, n_loc3)
+        b_d = b_t.matvec(eye.reshape(box6)).reshape(
+            n_dom, n_loc3, n_loc3)
+        padf = 1.0 - maskc
+        pad_eye = padf[:, :, None] * padf[:, None, :] \
+            * jnp.eye(n_loc3, dtype=dtype)
+        from ..ops import batched_linalg as bl
+        a_eff = a_d - a_d * pad_eye + steer * pad_eye
+        b_eff = b_d - b_d * pad_eye + pad_eye
+        w, v_ = bl.generalized_eigh(a_eff, b_eff)
         w_np = np.asarray(w, np.float64)
-        _vlog(f"lobpcg k={k_cand} done")
-        if opts.cut > 0 or k_cand >= min(128, n_loc3):
-            break
-        if np.all(w_np[:, -1] > opts.tau):
-            break
-        x_prev = v
-        k_cand = min(k_cand * 2, min(128, n_loc3))
-    res_np = np.asarray(res, np.float64)
+        v_ = jnp.asarray(v_, dtype)
+        if flip:
+            w_np = w_np[:, ::-1].copy()
+            v_ = v_[:, :, ::-1]
+        return w_np, v_
+
+    dense_ok = opts.els2.type != "lobpcg" and n_loc3 <= 1024
+
+    def run_pencil(label, a_t, b_t, t_t, thr, thr_dense, cut_p):
+        """One GenEO pencil -> (w_np, v, base, kept_res) with w in the
+        PENCIL-LAMBDA convention and the kept window a prefix (ascending
+        tau / descending gamma) — structured/geneo.py's run_pencil on
+        vector fields; the gamma problem runs the SWAPPED pencil
+        (smallest mu = 1/lambda)."""
+        gamma_p = label == "gamma"
+        if dense_ok:
+            if gamma_p:
+                # unswapped (D A_Dir D, A_Rob), largest lambda
+                w_np, v_ = dense_pencil(b_t, a_t, 1e-6, flip=True)
+                base_ = (w_np >= thr_dense[:, None]).sum(1) \
+                    .astype(np.int64)
+            else:
+                w_np, v_ = dense_pencil(a_t, b_t, 1e6, flip=False)
+                base_ = (w_np <= thr_dense[:, None]).sum(1) \
+                    .astype(np.int64)
+            if cut_p > 0:
+                base_ = np.minimum(base_, cut_p)
+            _vlog(f"dense eigh[{label}] done")
+            return w_np, v_, base_, np.zeros(n_dom)
+        # iterative route: warm-restarted candidate growth; elasticity
+        # floats carry >= 6 rigid modes, so start at 8 (3 translations +
+        # 3 rotations + margin)
+        k_cand = cut_p if cut_p > 0 else 8
+        k_cand = min(k_cand, n_loc3)
+        x_prev = None
+        while True:
+            w, v_, res = run_all(a_t, b_t, t_t, k_cand,
+                                 seed_rigid=not gamma_p, x0_prev=x_prev)
+            w_np = np.asarray(w, np.float64)
+            _vlog(f"lobpcg[{label}] k={k_cand} done")
+            if cut_p > 0 or k_cand >= min(128, n_loc3):
+                break
+            if np.all(w_np[:, -1] > thr):
+                break
+            x_prev = v_
+            k_cand = min(k_cand * 2, min(128, n_loc3))
+        res_np = np.asarray(res, np.float64)
+        base_ = (w_np <= thr[:, None]).sum(axis=1).astype(np.int64)
+        if cut_p > 0:
+            base_ = np.minimum(base_, cut_p)
+        kept_res = np.zeros(n_dom)
+        for p in range(n_dom):
+            if base_[p] > 0:
+                kept_res[p] = float(res_np[p, :base_[p]].max())
+        if gamma_p:
+            # map the swapped-pencil mu back to lambda = 1/mu
+            w_np = 1.0 / np.maximum(w_np, np.finfo(np.float64).tiny)
+        return w_np, v_, base_, kept_res
+
+    # pencil list + shift-invert surrogate preconditioners
+    cut_p = opts.cut
+    if opts.lvl2_num == 2 and cut_p >= 2:
+        cut_p = cut_p // 2                    # halved (geneo.cpp:1275)
+    if opts.lvl2_num == 1:
+        thr1 = np.full(n_dom, float(opts.tau))
+        t1 = None if dense_ok else VecFDM(_scalar_surrogate(
+            g, cw_neu, bc_neu, maskf, float(opts.tau), dtype))
+        pencils = [("tau", neu_op, b_dad, thr1, thr1, t1)]
+    else:
+        from .geneo import _tau_loc_structured
+        tl = _tau_loc_structured(sd, opts.tau, opts.cst)
+        gl = _gamma_loc(sd.adjacency(), n_dom, opts.gamma, opts.cst)
+        stats.tau_loc, stats.gamma_loc = tl, gl
+        thr2 = 1.0 / np.maximum(gl, 1e-12)    # swapped-pencil mu window
+        if dense_ok:
+            t1 = t2 = None
+        else:
+            # surrogates of (A_Neu + mean(tl) A_Rob) and (A_Rob +
+            # mean(thr2) DADirD): Robin ~ Dirichlet cellwise (the optim
+            # border term and the PoU sandwich are preconditioner-level
+            # detail), so fold the Dirichlet weights in scaled
+            tl_m = float(np.mean(tl))
+            t1 = VecFDM(_scalar_surrogate(
+                g, cw_neu + tl_m * cw_inner, bc_neu + tl_m * bc_dir,
+                maskf, 0.0, dtype))
+            th_m = float(np.mean(thr2))
+            t2 = VecFDM(_scalar_surrogate(
+                g, (1.0 + th_m) * cw_inner, (1.0 + th_m) * bc_dir,
+                maskf, 0.0, dtype))
+        pencils = [("tau", neu_op, rob_op, tl, tl, t1),
+                   ("gamma", rob_op, b_dad, thr2, gl, t2)]
+
+    runs = []
+    for label, a_t, b_t, thr, thr_dense, t_t in pencils:
+        _tp = _time.perf_counter()
+        w_np, v_p, base_p, kres = run_pencil(label, a_t, b_t, t_t, thr,
+                                             thr_dense, cut_p)
+        if timers is not None:
+            _dt = _time.perf_counter() - _tp
+            timers.add("l2_eig", _dt)
+            timers.add(f"l2_{label}_eig", _dt)
+        runs.append((label, w_np, v_p, base_p, kres))
     if jax.default_backend() != "cpu":
         # drop the LOBPCG executables: their device scratch reservations
         # (sized to the chunk budget) otherwise stay resident and starve
         # the E-assembly allocations (observed ResourceExhausted at a
         # 1 GB pad with < 5 GB of live arrays)
         jax.clear_caches()
-    if timers is not None:
-        _dt = _time.perf_counter() - _t
-        timers.add("l2_eig", _dt)
-        timers.add("l2_tau_eig", _dt)
     _t = _time.perf_counter()
 
-    base = (w_np <= opts.tau).sum(axis=1).astype(np.int64)
-    if opts.cut > 0:
-        base = np.minimum(base, opts.cut)
-    stats.estim_dim_e = base.copy()
-    kept_res = np.zeros(n_dom)
-    for p in range(n_dom):
-        if base[p] > 0:
-            kept_res[p] = float(res_np[p, :base[p]].max())
+    w1_np, v1, base1 = runs[0][1], runs[0][2], runs[0][3]
+    kept_res = runs[0][4].copy()
+    if len(runs) > 1:
+        w2_np, v2, base2 = runs[1][1], runs[1][2], runs[1][3]
+        kept_res = np.maximum(kept_res, runs[1][4])
+        lam2 = w2_np                # already in lambda convention
+    else:
+        v2, base2, lam2 = None, np.zeros(n_dom, np.int64), None
+    stats.estim_dim_e = base1 + base2
     stats.lobpcg_res = kept_res
 
-    # Nicolaides (geneo.cpp:897-955): constant vector over ALL components
+    # Nicolaides (geneo.cpp:897-955): constant vector over ALL components,
+    # tested against the tau pencil's B operator
+    b_tau = pencils[0][2]
     ones_b = maskc.reshape(n_dom, sz, sy, sx, 3)
     num_all = np.asarray(jnp.einsum(
         "dzyxc,dzyxc->d", ones_b, neu_op.matvec(ones_b)), np.float64)
     den_all = np.asarray(jnp.einsum(
-        "dzyxc,dzyxc->d", ones_b, b_dad.matvec(ones_b)), np.float64)
+        "dzyxc,dzyxc->d", ones_b, b_tau.matvec(ones_b)), np.float64)
     eps64 = np.finfo(np.float64).eps
     eps32 = np.finfo(np.float32).eps
     n_real = np.asarray(jnp.sum(maskf.reshape(n_dom, -1), axis=1),
@@ -836,34 +953,52 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     for p in range(n_dom):
         if n_real[p] == 0:
             continue
-        kept_min = w_np[p, 0] if base[p] > 0 else np.inf
-        if base[p] > 0 and kept_min < eps64:
+        kept_min = w1_np[p, 0] if base1[p] > 0 else np.inf
+        if base1[p] > 0 and kept_min < eps64:
             continue
         ratio = abs(num_all[p] / den_all[p]) if den_all[p] != 0 else np.inf
-        if ratio <= eps32 or base[p] == 0:
+        if ratio <= eps32 or base1[p] + base2[p] == 0:
             nic[p] = True
     stats.nicolaides = nic.astype(np.int64)
-    counts = base + nic
+    counts = base1 + nic + base2
     stats.real_dim_e = counts.copy()
     stats.raw_dim_e = counts.copy()
     stats.eigenvalues = [
-        [float(x) for x in w_np[p, :base[p]]] + ([0.0] if nic[p] else [])
+        [float(x) for x in w1_np[p, :base1[p]]]
+        + ([0.0] if nic[p] else [])
+        + ([float(x) for x in lam2[p, :base2[p]]] if lam2 is not None
+           else [])
         for p in range(n_dom)]
     dim_e = int(counts.sum())
     k_max = max(int(counts.max()), 1)
     _vlog(f"columns selected (dim_e={dim_e}, k_max={k_max})")
 
-    # D-weighted Z ((7.49) of R1)
+    # D-weighted Z ((7.49) of R1): per domain the columns are [tau-kept
+    # prefix, Nicolaides constant, gamma-kept prefix] — the generic
+    # path's column order
     col = np.arange(k_max)
-    k_v = v.shape[-1]
-    if k_v < k_max:
-        v = jnp.concatenate(
-            [v, jnp.zeros((n_dom, n_loc3, k_max - k_v), dtype)], axis=-1)
-    keepm = jnp.asarray(col[None, :] < base[:, None], dtype)
-    nicm = jnp.asarray((col[None, :] == base[:, None]) & nic[:, None],
+
+    def pad_cols(v_):
+        k_v = v_.shape[-1]
+        if k_v < k_max:
+            return jnp.concatenate(
+                [v_, jnp.zeros((n_dom, n_loc3, k_max - k_v), dtype)],
+                axis=-1)
+        return v_[:, :, :k_max]
+
+    keepm = jnp.asarray(col[None, :] < base1[:, None], dtype)
+    nicm = jnp.asarray((col[None, :] == base1[:, None]) & nic[:, None],
                        dtype)
-    z = v[:, :, :k_max] * keepm[:, None, :] \
+    z = pad_cols(v1) * keepm[:, None, :] \
         + maskc[..., None] * nicm[:, None, :]
+    if v2 is not None:
+        lo2 = (base1 + nic)[:, None]
+        idx2 = np.clip(col[None, :] - lo2, 0, max(v2.shape[-1] - 1, 0))
+        m2 = jnp.asarray((col[None, :] >= lo2)
+                         & (col[None, :] < counts[:, None]), dtype)
+        z2 = jnp.take_along_axis(
+            v2, jnp.asarray(idx2)[:, None, :], axis=-1)
+        z = z + z2 * m2[:, None, :]
     z = z.reshape(n_dom, sz, sy, sx, 3, k_max)
     z = z * pou_b[..., None, None] * maskf[..., None, None]
     _t = _mark("l2_z", _t)
@@ -875,7 +1010,7 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     # y_fn, so no global y (nor f64 z copy) ever materializes — the
     # tunneled TPU runtime reclaims churn poorly and any late GB-scale
     # allocation dies (observed at 152^3).
-    del v                           # the raw eigenvector block (z owns it)
+    del v1, v2, runs               # the raw eigenvector blocks (z owns them)
     if jax.default_backend() != "cpu":
         jax.clear_caches()          # drop the LOBPCG/setup executables
     e_dtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
@@ -933,12 +1068,18 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
 
 def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
                   opts: GenEOOptions | None = None, tol: float = 1e-8,
-                  dtype=jnp.float32, timers=None,
+                  dtype=None, timers=None,
                   device_refine: bool | None = None,
                   inner_max_it: int = 2000):
     """End-to-end elasticity solve: setup -> mixed-precision refined
     flexible CG to the true-f64 tolerance (the structured solve driver's
-    twin, structured/solve.py)."""
+    twin, structured/solve.py).
+
+    dtype default: f32 on accelerators (MXU hot path + f64 refinement);
+    f64 on CPU backends — the elastic cell-sum matvec's f32
+    representation noise (~6e-8 relative, eps32-level even at
+    precision="highest") floors the refined residual near 4e-8 at small
+    scale, and CPU f64 is native-speed so there is nothing to trade."""
     import time as _time
 
     from ..krylov.cg import cg_solve
@@ -948,6 +1089,10 @@ def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
 
     opts = opts or GenEOOptions()
     timers = timers or Timers()
+    if dtype is None:
+        dtype = (jnp.float64 if (jax.default_backend() == "cpu"
+                                 and bool(jax.config.jax_enable_x64))
+                 else jnp.float32)
     if device_refine is None:
         device_refine = (jax.default_backend() != "cpu"
                          and bool(jax.config.jax_enable_x64))

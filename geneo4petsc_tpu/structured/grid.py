@@ -57,6 +57,14 @@ class StructuredGrid:
     separable_hint: bool | None = field(default=None, repr=False)
     _edge_off_cache: dict = field(default_factory=dict, repr=False)
 
+    def __post_init__(self):
+        # A True hint lets fdm._axis_profiles skip its O(N) reconstruction
+        # check, so the field it vouches for must not change under it:
+        # freeze the array so an in-place edit raises instead of silently
+        # producing a wrong FDM factorization.
+        if self.separable_hint is True:
+            self.kappa.flags.writeable = False
+
     @property
     def n_nodes(self) -> int:
         nx, ny, nz = self.shape

@@ -126,3 +126,65 @@ def shard_structured(pc: StructuredGenEO, mesh: Mesh, axis: str = "dz"):
 
     shard_vec = lambda v: jax.device_put(jnp.asarray(v), dom)
     return (lambda x: mv(pc_sh, x)), (lambda x: ap(pc_sh, x)), pc_sh, shard_vec
+
+
+def shard_elastic(pc, mesh: Mesh, axis: str = "dz"):
+    """Place a set-up ElasticGenEO (structured/elastic.py) onto the mesh.
+
+    Same model as shard_structured: flat [3n] displacement vectors are
+    z-slab sharded (z slowest, 3 components fastest — a leading-dim split
+    IS the slab split when nz divides the mesh), domain-batched setup
+    products shard on the domain dim, and the coarse factorization is
+    replicated.  The cell-sum matvec (_cell_apply) is static slices +
+    one MXU matmul, so XLA's partitioner inserts the one-plane
+    CollectivePermute halos; the per-cell modulus field ([nz-1, ...],
+    never mesh-divisible) stays replicated — it is ~14 MB at the 10M
+    bench against multi-GB vectors.
+
+    Returns (matvec, apply, pc_sh, shard_vec) with SHARDED [3n]
+    signatures."""
+    n_dev = mesh.shape[axis]
+    nx, ny, nz = pc.grid_shape
+    n_dom = int(np.prod(pc.dom_grid))
+    if nz % n_dev or n_dom % n_dev:
+        raise ValueError(
+            f"nz={nz} (vector slabs) and n_dom={n_dom} (domain chunks) "
+            f"must divide the mesh size {n_dev}")
+
+    dom = _grid_sharding(mesh, axis)
+    repl = NamedSharding(mesh, P())
+
+    def put(x, s):
+        return None if x is None else jax.device_put(x, s)
+
+    def put_dom_tree(tree):
+        """Shard exactly the [n_dom, ...]-batched leaves; everything else
+        (the 24x24 reference stiffness, scalar knobs, 1-D axis factors)
+        replicates."""
+        def one(a):
+            nd = getattr(a, "ndim", 0)
+            ok = nd >= 1 and a.shape[0] == n_dom
+            return jax.device_put(a, dom if ok else repl)
+        return jax.tree_util.tree_map(one, tree)
+
+    pc_sh = dataclasses.replace(
+        pc,
+        gop=dataclasses.replace(pc.gop, bc=put(pc.gop.bc, dom),
+                                e_cell=put(pc.gop.e_cell, repl),
+                                k0=put(pc.gop.k0, repl)),
+        l1=put_dom_tree(pc.l1),
+        pou=put(pc.pou, dom), maskf=put(pc.maskf, dom),
+        z=put(pc.z, dom), colids=put(pc.colids, dom),
+        e_evecs=put(pc.e_evecs, repl), e_eig_inv=put(pc.e_eig_inv, repl),
+        x0=put(pc.x0, dom))
+
+    @partial(jax.jit, out_shardings=dom)
+    def mv(pc_a, x):
+        return pc_a.matvec(x)
+
+    @partial(jax.jit, out_shardings=dom)
+    def ap(pc_a, x):
+        return pc_a.apply(x)
+
+    shard_vec = lambda v: jax.device_put(jnp.asarray(v), dom)
+    return (lambda x: mv(pc_sh, x)), (lambda x: ap(pc_sh, x)), pc_sh, shard_vec

@@ -3,6 +3,7 @@ correctness, Neumann/Dirichlet duality, rigid-body coarse modes, and
 end-to-end GenEO convergence — BASELINE #5's problem class."""
 
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 import jax
@@ -148,6 +149,102 @@ def test_geneo_captures_rigid_modes_and_converges():
     pc2, st2 = setup_elastic(g, (1, 1, 2), 2, opts2,
                              b=jnp.asarray(b), dtype=jnp.float64)
     assert int(st2.real_dim_e[1]) >= 6  # top slab floats: 6 rigid modes
+
+
+def _solve_elastic_structured(g, dg, overlap, o, b):
+    from geneo4petsc_tpu.krylov.cg import cg_solve as _cg
+    import jax.numpy as _jnp
+    pc, st = setup_elastic(g, dg, overlap, o, b=_jnp.asarray(b),
+                           dtype=_jnp.float64)
+    x0 = pc.x0 if o.eff_hybrid else None
+    res = _cg(pc.matvec, _jnp.asarray(b), pc.apply, x0=x0, rtol=1e-8,
+              flexible=True)
+    return res, st, pc
+
+
+def _solve_elastic_generic(g, dg, overlap, o, b):
+    """The same problem through the generic dense-block path on the SAME
+    box decomposition (to_generic with ncomp=3) — the cross-path oracle
+    for the vector backend (BASELINE.md north star: identical iteration
+    counts)."""
+    import jax.numpy as _jnp
+    from geneo4petsc_tpu.assembly.assemble import assemble
+    from geneo4petsc_tpu.krylov.cg import cg_solve as _cg
+    from geneo4petsc_tpu.models import elasticity as el_model
+    from geneo4petsc_tpu.precond.geneo import setup_geneo
+
+    n = g.shape[0]
+    mesh = el_model.get_input(f"--size {n} --dim 3 --nu {g.nu} "
+                              f"--spring {g.spring}")
+    # overwrite the element moduli with g's exact per-cell field (the
+    # generator reproduces the separable profiles; non-separable fields
+    # come only from g)
+    c = n - 1
+    for ci in range(c * c * c):
+        k, r = divmod(ci, c * c)
+        j, i = divmod(r, c)
+        mesh.elem_mats[ci] = g.e_cell[k, j, i] * g.k0
+    sd = el._geom(g, dg, overlap)
+    gen = sd.to_generic(mesh, ncomp=3)
+    ap = assemble(mesh, gen, dtype=_jnp.float64)
+    pc, st = setup_geneo(ap.batch, o, b=_jnp.asarray(b), decomp=gen)
+    x0 = pc.x0 if o.eff_hybrid else None
+    res = _cg(ap.batch.matvec, _jnp.asarray(b), pc.apply, x0=x0,
+              rtol=1e-8)
+    return res, st
+
+
+def test_generic_3d_elasticity_matches_grid_operator():
+    """The element-list twin (models/elasticity.py --dim 3) assembles to
+    exactly the ElasticGrid operator."""
+    from geneo4petsc_tpu.assembly.assemble import assemble_global_csr
+    from geneo4petsc_tpu.models import elasticity as el_model
+    g = elastic_grid(5, kappa_max=100.0, interp="minmax", spring=7.0)
+    mesh = el_model.get_input("--size 5 --dim 3 --nu 0.3 --spring 7.0 "
+                              "--kappa 100. minmax")
+    a = assemble_global_csr(mesh)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=g.n_dof)
+    np.testing.assert_allclose(a @ x, g.matvec(x), rtol=1e-11, atol=1e-9)
+
+
+@pytest.mark.parametrize("lvl,optim", [
+    ("ASM,1", 1.0), ("SORAS,2", 1.0), ("SORAS,E2", 1.0), ("SORAS,H2", 1.0),
+])
+def test_elastic_structured_vs_generic_parity(lvl, optim):
+    """Vector-backend GenEO-1/GenEO-2 windows and iteration counts vs the
+    generic path on the same decomposition.  The elastic level-1 solves
+    are inexact PCG (no exact factorization exists for 27-point block
+    stencils), so iteration counts carry a small documented band; the
+    pencil windows (raw_dim_e), coarse rank, and adaptive thresholds
+    must match exactly (dense-eigh routes on both sides)."""
+    g = elastic_grid(6, kappa_max=1000.0, interp="minmax")
+    o = GenEOOptions(optim=optim)
+    o.lvl1, o.lvl2 = lvl.split(",")
+    o.dls1.rtol = 1e-11             # drive the inexact PCG to near-exact
+    o.dls1.max_it = 500
+    _xt, b = g.manufactured_rhs()
+    r_s, s_s, pc = _solve_elastic_structured(g, (2, 2, 1), 1, o, b)
+    o2 = GenEOOptions(optim=optim)
+    o2.lvl1, o2.lvl2 = lvl.split(",")
+    r_g, s_g = _solve_elastic_generic(g, (2, 2, 1), 1, o2, b)
+    assert int(r_s.reason) > 0 and int(r_g.reason) > 0
+    if s_s.raw_dim_e is not None and s_g.raw_dim_e is not None:
+        np.testing.assert_array_equal(s_s.raw_dim_e, s_g.raw_dim_e)
+        assert int(s_s.real_dim_e.sum()) == int(s_g.real_dim_e.sum())
+    else:
+        np.testing.assert_array_equal(s_s.real_dim_e, s_g.real_dim_e)
+    if "2" in lvl.split(",")[1]:
+        np.testing.assert_allclose(s_s.tau_loc, s_g.tau_loc, rtol=1e-12)
+        np.testing.assert_allclose(s_s.gamma_loc, s_g.gamma_loc,
+                                   rtol=1e-12)
+    assert abs(int(r_s.its) - int(r_g.its)) <= 2
+    x_true = np.arange(1.0, g.n_dof + 1)
+    rel = np.linalg.norm(g.matvec(np.asarray(r_s.x, np.float64)) - b) \
+        / np.linalg.norm(b)
+    assert rel < 1e-7
+    np.testing.assert_allclose(np.asarray(r_s.x, np.float64), x_true,
+                               atol=1e-4 * np.abs(x_true).max())
 
 
 def test_solve_elastic_driver_nonsep():

@@ -134,8 +134,19 @@ def test_fdm_block_vectors_and_f32():
 
 
 def test_fdm_rejects_nonseparable():
+    # generator-stamped grids carry separable_hint=True, which lets the
+    # FDM eligibility probe skip its O(N) reconstruction check — so the
+    # field it vouches for is frozen: in-place edits must raise
     g = laplacian_grid(8, dim=2, kappa_max=10.0, interp="quad")
-    g.kappa[0, 4, 2] *= 1.5
-    sd = StructuredDecomposition(g, (2, 2, 1), 1)
+    with pytest.raises(ValueError):
+        g.kappa[0, 4, 2] *= 1.5
+    # an unhinted grid with a genuinely non-separable field goes through
+    # the full reconstruction check and is rejected
+    k = laplacian_grid(8, dim=2, kappa_max=10.0, interp="quad") \
+        .kappa.copy()
+    k[0, 4, 2] *= 1.5
+    from geneo4petsc_tpu.structured.grid import StructuredGrid
+    g2 = StructuredGrid(shape=g.shape, kappa=k, dim=2)
+    sd = StructuredDecomposition(g2, (2, 2, 1), 1)
     with pytest.raises(ValueError, match="separable"):
         fdm.dirichlet_axes(sd)
