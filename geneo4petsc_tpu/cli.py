@@ -45,6 +45,9 @@ usage: geneo4petsc_tpu is a TPU-native implementation of the GenEO preconditione
   --metisNodal,   partition by nodes (elements may belong to several partitions)
   --addOverlap L, add L layers of overlap at each domain border
   --nbPart N,     number of subdomains (the reference's mpirun -n N)
+  --nbDevices D,  run the solve on a D-device mesh (D = int or 'auto' =
+                  jax.device_count()); subdomains shard over the devices,
+                  the coarse solve replicates.  geneo PCs only.
   --debug F,      create debug files (F = log, bin or mat)
   --verbose V,    V=1: dump X; V=2: dump A, B and X
   --timing,       print timing
@@ -106,6 +109,16 @@ def parse_args(argv: list[str]):
             i += 1; drv.add_overlap = int(need(i, a))
         elif a == "--nbPart":
             i += 1; drv.n_parts = int(need(i, a))
+        elif a == "--nbDevices":
+            i += 1
+            v = need(i, a)
+            if v == "auto":
+                import jax as _jx
+                drv.n_devices = _jx.device_count()
+            else:
+                drv.n_devices = int(v)
+                if drv.n_devices < 1:
+                    raise CLIError("Error: invalid option --nbDevices")
         elif a == "--structured":
             i += 1; drv.structured = need(i, a)
         elif a == "--debug":
@@ -239,6 +252,17 @@ def run(argv: list[str], out=sys.stdout) -> int:
         print(USAGE, file=sys.stderr)
         return 1
 
+    if gen.offload:
+        # surfaced on stderr (stdout is the golden-diffed protocol): the
+        # reference gathers Z and E to rank 0 and solves serially there
+        # (src/geneo.cpp:288-319, :1435-1526); on a TPU mesh the idiomatic
+        # inversion is replication — E is tiny, every device factors and
+        # solves it locally, no gather/scatter per iteration.  Numerics
+        # and output (PC names, dims) are identical either way.
+        print("INFO: -geneo_offload maps to a replicated coarse solve on "
+              "TPU (every device factors/solves E; no rank-0 gather)",
+              file=sys.stderr)
+
     if drv.structured:
         return _run_structured(drv, ksp, gen, pc_type, out, t_total)
 
@@ -284,8 +308,13 @@ def run(argv: list[str], out=sys.stdout) -> int:
         _debug_driver_files(ap, b, drv)
 
     # --- solve (L4/L5) ---
+    n_dev = drv.n_devices
+    if n_dev is not None and pc_type != "geneo":
+        print(f"WRNG: --nbDevices ignored for -pc_type {pc_type} "
+              "(multi-device runs the geneo PC)", file=out)
+        n_dev = None
     res = solve_assembled(ap, pc_type=pc_type, geneo=gen, ksp=ksp, b=b,
-                          driver=drv, timers=timers)
+                          driver=drv, timers=timers, n_devices=n_dev)
 
     if check:
         from .utils.check import CheckError
@@ -427,8 +456,13 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
         grid = elastic_grid(opt.get("size", 4), kappa_max=kappa_max,
                             interp=interp, nu=opt.get("nu", 0.3),
                             spring=opt.get("spring", 1.0))
-        res = solve_elastic(grid, dom_grid, overlap, opts=gen,
-                            tol=ksp.rtol, timers=timers)
+        try:
+            res = solve_elastic(grid, dom_grid, overlap, opts=gen,
+                                tol=ksp.rtol, timers=timers,
+                                n_devices=drv.n_devices)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
         nx, ny, nz = grid.shape
         n_elems = (nx - 1) * (ny - 1) * (nz - 1) + 3 * nx * ny
         nnz = 9 * (3 * nx - 2) * (3 * ny - 2) * (3 * nz - 2)
@@ -447,8 +481,13 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
                 kappa_max=kappa_max, interp=interp,
                 inp_eps=opt.get("inpEps", drv.inp_eps),
                 weak_scaling=opt.get("weakScaling", 1))
-        res = solve_structured(grid, dom_grid, overlap, geneo=gen,
-                               ksp=ksp, tol=ksp.rtol, timers=timers)
+        try:
+            res = solve_structured(grid, dom_grid, overlap, geneo=gen,
+                                   ksp=ksp, tol=ksp.rtol, timers=timers,
+                                   n_devices=drv.n_devices)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
         n_edges = sum((grid.shape[a] - 1)
                       * (grid.n_nodes // max(grid.shape[a], 1))
                       for a in range(grid.dim))
@@ -458,6 +497,8 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
         n_dof_line = grid.n_nodes
 
     mode = f"structured {dom_grid[0]}x{dom_grid[1]}x{dom_grid[2]}"
+    if drv.n_devices is not None:
+        mode += f", nb devices {drv.n_devices}"
     print(f"INFO: nb DOFs {n_dof_line}, nb elements {n_elems}, "
           f"nnz coefs {nnz}, "
           f"nb partitions {res.n_dom}, overlap {overlap}, {mode}",
@@ -515,6 +556,8 @@ def _run_structured(drv, ksp, gen, pc_type, out, t_total) -> int:
 
 def _print_info(res, drv, ksp, gen, pc_type, out):
     mode = "metis dual" if drv.metis_dual else "metis nodal"
+    if drv.n_devices is not None and pc_type == "geneo":
+        mode += f", nb devices {drv.n_devices}"
     print(f"INFO: nb DOFs {res.n_dof}, nb elements {res.n_elems}, "
           f"nnz coefs {res.nnz}, nb partitions {res.n_dom}, "
           f"overlap {drv.add_overlap}, {mode}", file=out)

@@ -164,6 +164,11 @@ class DriverOptions:
     short_res: bool = False
     cmd_line: bool = False
     n_parts: int = 2  # "mpirun -n" equivalent: number of subdomains
+    # number of devices to run the solve on (None = single-device).
+    # The reference's process count IS its device count (mpirun -n N,
+    # src/geneo4PETSc.cpp:1569-1633); on TPU subdomain count and device
+    # count decouple — --nbPart sets domains, --nbDevices the mesh size.
+    n_devices: int | None = None
     # "GX,GY,GZ": route the solve through the structured stencil backend
     # (box decomposition of the generator's tensor grid) — the 10M+ DOF
     # scale path; laplacian/heat generators

@@ -69,7 +69,14 @@ def solve_assembled(assembled: AssembledProblem,
                     ksp: KSPOptions | None = None,
                     b: np.ndarray | None = None,
                     driver: DriverOptions | None = None,
-                    timers: Timers | None = None) -> SolveOutput:
+                    timers: Timers | None = None,
+                    n_devices: int | None = None) -> SolveOutput:
+    """n_devices: run the Krylov iteration on an n-device mesh with
+    owner-block sharded vectors + packed all_to_all halo exchange
+    (parallel/dist.py — the VecScatter model; the reference's
+    `mpirun -n N`, src/geneo4PETSc.cpp:1569-1633).  geneo PCs only;
+    iteration counts match the single-device layout (asserted by
+    tests + the multichip dryrun).  None (default): single device."""
     geneo = geneo or GenEOOptions()
     ksp = ksp or KSPOptions()
     driver = driver or DriverOptions()
@@ -134,24 +141,52 @@ def solve_assembled(assembled: AssembledProblem,
         raise ValueError(f"unknown ksp type {ksp.type}")
     extra = {} if ksp.type == "cg" else {"restart": ksp.restart}
 
-    if pc is not None:
-        def run(op_a, pc_a, bv, x0v):
-            return solver_fn(op_a.matvec, bv, pc_a.apply, x0=x0v,
-                             **extra, **kw)
-        run_j = jax.jit(run)
-        args = (op_batch, pc)
+    unshard_vec = None
+    if n_devices is not None and pc_type == "geneo":
+        # mpirun -n N analogue: owner-block sharded vectors + packed
+        # all_to_all halos (parallel/dist.py).  The Krylov loop runs
+        # eagerly over the shard_map'd matvec/apply — the problem sizes
+        # on this path are sweep-scale, so the closure constants are
+        # tiny; the 10M+ scale path is solve_structured(n_devices=...).
+        from .parallel.dist import dist_geneo
+        from .parallel.sharded import make_mesh
+        dmesh = make_mesh(n_devices)
+        node_part = getattr(assembled.decomp, "node_part", None) \
+            if assembled.decomp is not None else None
+        mv, pa, _pc_d, shard_vec, unshard_vec = dist_geneo(
+            pc, dmesh, node_part=node_part)
+        b_run = shard_vec(np.asarray(b, np.dtype(dtype)))
+        x0_run = shard_vec(np.asarray(x0)) if x0 is not None \
+            else jnp.zeros_like(b_run)
+
+        t0 = time.perf_counter()
+        result = solver_fn(mv, b_run, pa, x0=x0_run, **extra, **kw)
+        jax.block_until_ready(result.x)
+        timers.add("ksp_iterations", time.perf_counter() - t0)
     else:
-        def run(op_a, bv, x0v):
-            return solver_fn(op_a.matvec, bv, None, x0=x0v, **extra, **kw)
-        run_j = jax.jit(run)
-        args = (op_batch,)
+        if pc is not None:
+            def run(op_a, pc_a, bv, x0v):
+                return solver_fn(op_a.matvec, bv, pc_a.apply, x0=x0v,
+                                 **extra, **kw)
+            run_j = jax.jit(run)
+            args = (op_batch, pc)
+        else:
+            def run(op_a, bv, x0v):
+                return solver_fn(op_a.matvec, bv, None, x0=x0v,
+                                 **extra, **kw)
+            run_j = jax.jit(run)
+            args = (op_batch,)
 
-    t0 = time.perf_counter()
-    result = run_j(*args, b_j, x0 if x0 is not None else jnp.zeros(n, dtype))
-    jax.block_until_ready(result.x)
-    timers.add("ksp_iterations", time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        result = run_j(*args, b_j,
+                       x0 if x0 is not None else jnp.zeros(n, dtype))
+        jax.block_until_ready(result.x)
+        timers.add("ksp_iterations", time.perf_counter() - t0)
 
-    x_np = np.asarray(result.x, np.float64)
+    if unshard_vec is not None:
+        x_np = unshard_vec(result.x).astype(np.float64)
+    else:
+        x_np = np.asarray(result.x, np.float64)
     r = assembled.a_csr @ x_np - b
     bn = np.linalg.norm(b)
     true_res = float(np.linalg.norm(r) / bn) if bn > 0 else float("inf")

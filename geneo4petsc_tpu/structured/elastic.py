@@ -1070,7 +1070,8 @@ def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
                   opts: GenEOOptions | None = None, tol: float = 1e-8,
                   dtype=None, timers=None,
                   device_refine: bool | None = None,
-                  inner_max_it: int = 2000):
+                  inner_max_it: int = 2000,
+                  n_devices: int | None = None):
     """End-to-end elasticity solve: setup -> mixed-precision refined
     flexible CG to the true-f64 tolerance (the structured solve driver's
     twin, structured/solve.py).
@@ -1096,6 +1097,10 @@ def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
     if device_refine is None:
         device_refine = (jax.default_backend() != "cpu"
                          and bool(jax.config.jax_enable_x64))
+    mesh = None
+    if n_devices is not None:
+        from .sharded import make_mesh
+        mesh = make_mesh(n_devices)
 
     t0 = _time.perf_counter()
     timers.add("partition", _time.perf_counter() - t0)
@@ -1104,6 +1109,10 @@ def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
     if device_refine:
         op64 = elastic_op(g, jnp.float64)
         x_true = jnp.arange(1.0, g.n_dof + 1, dtype=jnp.float64)
+        if mesh is not None:
+            from .sharded import shard_refine64
+            op64, shard_vec64 = shard_refine64(op64, mesh)
+            x_true = shard_vec64(x_true)
         b = jax.jit(lambda o, x: o.matvec(x))(op64, x_true)
         jax.block_until_ready(b)
     else:
@@ -1118,6 +1127,10 @@ def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
                               b=jnp.asarray(b, dtype), dtype=dtype,
                               timers=timers),
         g, dom_grid, overlap, opts, dtype, timers)
+    shard_vec = None
+    if mesh is not None:
+        from .sharded import shard_elastic
+        _mv, _ap, pc, shard_vec = shard_elastic(pc, mesh)
     jax.block_until_ready(jax.tree_util.tree_leaves(pc.l1))
     timers.add("setup", _time.perf_counter() - t0)
 
@@ -1133,7 +1146,12 @@ def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
         return cg_solve(pc_a.matvec, r32, pc_a.apply, x0=x0, rtol=rtol,
                         max_it=inner_max_it, stall_its=50, flexible=True)
 
-    inner_fn = lambda r32, rtol: inner(pc, r32, rtol)
+    if shard_vec is None:
+        inner_fn = lambda r32, rtol: inner(pc, r32, rtol)
+    else:
+        # residuals handed over by the refinement loop carry the z-slab
+        # sharding (host-refine passes uncommitted host arrays)
+        inner_fn = lambda r32, rtol: inner(pc, shard_vec(r32), rtol)
     if device_refine:
         ref = refined_solve_device(
             op64, b, inner_fn, tol=tol,

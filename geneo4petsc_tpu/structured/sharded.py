@@ -128,6 +128,28 @@ def shard_structured(pc: StructuredGenEO, mesh: Mesh, axis: str = "dz"):
     return (lambda x: mv(pc_sh, x)), (lambda x: ap(pc_sh, x)), pc_sh, shard_vec
 
 
+def shard_refine64(op64, mesh: Mesh, axis: str = "dz"):
+    """Place the f64 truth operator (GlobalStencil / ElasticOp pytree)
+    onto the mesh for the sharded refinement loop: every leaf whose
+    leading dim divides the mesh size z-slab shards (fields are
+    [nz, ny, nx] with z leading; flat vectors are z-slowest), the rest
+    replicates (tiny constants: the 24x24 cell stiffness, scalars).
+
+    Returns (op64_sh, shard_vec) with shard_vec placing flat [n]
+    vectors (any dtype) on the same z-slab sharding."""
+    n_dev = mesh.shape[axis]
+    dom = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def one(a):
+        nd = getattr(a, "ndim", 0)
+        ok = nd >= 1 and a.shape[0] % n_dev == 0
+        return jax.device_put(a, dom if ok else repl)
+
+    op_sh = jax.tree_util.tree_map(one, op64)
+    return op_sh, lambda v: jax.device_put(jnp.asarray(v), dom)
+
+
 def shard_elastic(pc, mesh: Mesh, axis: str = "dz"):
     """Place a set-up ElasticGenEO (structured/elastic.py) onto the mesh.
 

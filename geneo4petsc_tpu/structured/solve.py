@@ -139,18 +139,30 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
                      ksp: KSPOptions | None = None,
                      tol: float = 1e-8, dtype=jnp.float32,
                      timers: Timers | None = None,
-                     device_refine: bool | None = None
+                     device_refine: bool | None = None,
+                     n_devices: int | None = None
                      ) -> StructuredSolveOutput:
     """device_refine (default: auto — accelerator backend with x64 on):
     keep x/b/r on the accelerator in emulated f64 and compute the truth
     residual with the device stencil — two scalars of host traffic per
-    outer pass instead of an 80 MB round trip (the tunneled-TPU wall)."""
+    outer pass instead of an 80 MB round trip (the tunneled-TPU wall).
+
+    n_devices: place the solve on an n-device mesh (the reference's
+    `mpirun -n N`, src/geneo4PETSc.cpp:1569-1633): global vectors z-slab
+    sharded, the subdomain batch chunk-sharded, the coarse factorization
+    replicated — XLA inserts the halo CollectivePermutes and dot-product
+    AllReduces (structured/sharded.py).  Requires nz % n_devices == 0
+    and n_dom % n_devices == 0.  None (default): single-device layout."""
     geneo = geneo or GenEOOptions()
     ksp = ksp or KSPOptions()
     timers = timers or Timers()
     if device_refine is None:
         device_refine = (jax.default_backend() != "cpu"
                          and bool(jax.config.jax_enable_x64))
+    mesh = None
+    if n_devices is not None:
+        from .sharded import make_mesh
+        mesh = make_mesh(n_devices)
 
     t0 = time.perf_counter()
     sd = StructuredDecomposition(grid, tuple(dom_grid), overlap)
@@ -163,6 +175,10 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
         gop64 = global_stencil(grid, jnp.float64)
         n = grid.n_nodes
         x_true = jnp.arange(1.0, n + 1, dtype=jnp.float64)
+        if mesh is not None:
+            from .sharded import shard_refine64
+            gop64, shard_vec64 = shard_refine64(gop64, mesh)
+            x_true = shard_vec64(x_true)
         # operator as a traced argument (closure constants overflow the
         # remote compile service at scale)
         b = jax.jit(lambda g, x: g.matvec(x))(gop64, x_true)
@@ -176,6 +192,10 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
         lambda: setup_structured(sd, geneo, b=jnp.asarray(b, dtype),
                                  dtype=dtype, timers=timers),
         grid, dom_grid, overlap, geneo, dtype, timers)
+    shard_vec = None
+    if mesh is not None:
+        from .sharded import shard_structured
+        _mv, _ap, pc, shard_vec = shard_structured(pc, mesh)
     jax.block_until_ready(jax.tree_util.tree_leaves(pc.l1))
     timers.add("setup", time.perf_counter() - t0)
 
@@ -185,6 +205,11 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
     inner = make_structured_inner(
         pc, inner_max_it=int(min(ksp.max_it, 2000)),
         ksp_type=ksp.type if ksp.type in ("cg", "gmres") else "cg")
+    if shard_vec is not None:
+        # residuals handed over by the refinement loop must carry the
+        # z-slab sharding (host-refine passes uncommitted host arrays)
+        base_inner = inner
+        inner = lambda r32, rtol: base_inner(shard_vec(r32), rtol)
     if device_refine:
         ref = refined_solve_device(
             gop64, b, inner, tol=tol,
