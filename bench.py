@@ -16,12 +16,23 @@ inexact-Schwarz level-1) — in a subprocess, merged under "elas_*" keys.
 Legacy generic-path modes (xlarge/large/medium: the dense-block MatIS
 path at 1M/262k/32k DOF in 2D) remain for comparison.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Emission contract (the driver parses the LAST JSON line on stdout):
+the default mode prints a JSON line after EVERY completed stage — cold
+pass, steady pass, roofline, elasticity — each line a strict superset of
+the previous one, so a wall-budget kill at any point still leaves a
+valid record (round 3 recorded nothing: rc=124 with the single line
+still unprinted).  A BENCH_BUDGET_S guard (default 500 s) skips later
+stages and exits 0 before the driver's own timeout, recording what was
+skipped under "skipped".
+
 value = (setup + solve) seconds scaled to one MDOF; lower is better.
-vs_baseline compares against the reference's per-MDOF wall target derived
-from BASELINE.md config #5 (beat a 64-rank MPI CPU run: we conservatively
-peg that at 60 s/MDOF setup+solve for GenEO on this problem class;
-vs_baseline = target / ours, so > 1.0 means faster than target).
+vs_baseline compares against the per-MDOF wall target for the
+reference's BASELINE.md #5 criterion ("beat a 64-rank MPI CPU run"):
+a MEASURED single-core CPU anchor of this framework's own f64 path
+(tst/cpu_anchor.py, pinned in tst/golden/cpu_anchor.json) divided by 64
+ranks at the documented parallel efficiency — falling back to the
+legacy 60 s/MDOF peg only when the anchor file is absent.
+vs_baseline = target / ours, so > 1.0 means faster than target.
 """
 
 import json
@@ -33,12 +44,44 @@ import numpy as np
 
 VERBOSE = os.environ.get("BENCH_VERBOSE", "1") == "1"
 _T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "500"))
 
 
 def _log(msg):
     if VERBOSE:
         print(f"[bench {time.perf_counter() - _T0:7.2f}s] {msg}",
               file=sys.stderr, flush=True)
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _remaining():
+    return BUDGET_S - _elapsed()
+
+
+def _emit(out):
+    """Print the record NOW (flushed): early output is the floor the
+    driver can always parse, later lines only ever extend it."""
+    print(json.dumps(out), flush=True)
+
+
+def baseline_target():
+    """Per-MDOF wall target for vs_baseline: measured CPU anchor / 64
+    ranks at the pinned efficiency (tst/cpu_anchor.py), else the legacy
+    60 s/MDOF peg."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tst", "golden", "cpu_anchor.json")
+    try:
+        with open(path) as f:
+            a = json.load(f)
+        return float(a["target_s_per_mdof"]), (
+            f"measured single-core CPU anchor {a['anchor_s_per_mdof']} "
+            f"s/MDOF ({a['config']}) / 64 ranks @ "
+            f"{a['parallel_efficiency']} efficiency")
+    except Exception:  # noqa: BLE001 — peg is the documented fallback
+        return 60.0, "legacy 60 s/MDOF peg (anchor file absent)"
 
 
 def _start_warmup():
@@ -76,8 +119,11 @@ def _start_warmup():
     return th
 
 
-def bench_structured(size, dom_g, overlap):
-    """BASELINE #5: 3D high-contrast structured GenEO at scale."""
+def bench_structured(size, dom_g, overlap, emit=None, budget_guard=True):
+    """BASELINE #5: 3D high-contrast structured GenEO at scale.
+
+    Returns (record, steady_output_or_None); calls ``emit(record)`` with
+    an insurance record as soon as the cold pass completes."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -118,58 +164,125 @@ def bench_structured(size, dom_g, overlap):
             {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
         return out
 
+    n = grid.n_nodes
+    mdof = n / 1e6
+    target, target_note = baseline_target()
+
+    def record(out, pass_name):
+        x_true = jnp.arange(1.0, n + 1, dtype=jnp.float64)
+        err = float(jnp.max(jnp.abs(jnp.asarray(out.x) - x_true))) / n
+        t_setup = out.timers.get("setup")
+        t_solve = out.timers.get("solve")
+        per_mdof = (t_setup + t_solve) / mdof
+        return {
+            "metric": "setup+solve sec per MDOF, 10M-DOF 3D "
+                      "high-contrast Laplacian, "
+                      f"GenEO-{opts.lvl1},{opts.lvl2}+CG to true 1e-8 "
+                      "(structured FDM/LOBPCG backend; value = "
+                      f"{pass_name} pass" + (
+                          ", full setup+solve recomputed, only "
+                          "compile-service RPCs amortized — cold pass "
+                          "under cold_*" if pass_name == "steady"
+                          else "") + f"; vs_baseline target from "
+                      f"{target_note})",
+            "value": round(per_mdof, 3),
+            "unit": "s/MDOF",
+            "vs_baseline": round(target / per_mdof, 3),
+            "baseline_target_s_per_mdof": round(target, 3),
+            "pass": pass_name,
+            "n_dof": n,
+            "n_dom": dom_g ** 3,
+            "overlap": overlap,
+            "dim_e": int(out.stats.real_dim_e.sum()),
+            "inner_its": out.refined.inner_its,
+            "outer_its": out.refined.outer_its,
+            "true_res": out.true_res,
+            "rel_err_max": err,
+            "converged": bool(out.converged),
+            "setup_s": round(t_setup, 3),
+            "solve_s": round(t_solve, 3),
+            "partition_s": round(out.timers.get("partition"), 3),
+            "rhs_s": round(out.timers.get("createA"), 3),
+            "generator_s": round(t_gen, 3),
+            "eig_s": round(out.timers.get("l2_eig"), 3),
+            "device": str(jax.devices()[0]),
+        }
+
     # cold pass: pays every compile-service round trip (executable
     # compile/load RPCs through the tunnel — minutes of non-compute wall,
     # wildly weather-dependent); steady pass: every executable resident,
     # the wall is actual device compute + transfers.  Setup (LOBPCG, Z,
     # E, factors) and solve re-run IN FULL — nothing numerical is reused.
-    cold = run_once("cold").timers
+    cold_out = run_once("cold")
+    rec = record(cold_out, "cold")
+    rec["cold_setup_s"] = rec["setup_s"]
+    rec["cold_solve_s"] = rec["solve_s"]
+    rec["cold_value"] = rec["value"]
+    if emit:
+        emit(dict(rec, skipped=["steady_pass"]))   # insurance line
+    cold = cold_out.timers
+    del cold_out
     import gc
     gc.collect()                  # drop the cold pass's device buffers
+
+    # steady pass only when it fits the wall budget (observed steady
+    # wall ~ 25-45 s at 10M; leave headroom for the emit + roofline)
+    if budget_guard and _remaining() < 90:
+        _log(f"budget: skipping steady pass ({_remaining():.0f}s left)")
+        rec["skipped"] = ["steady_pass"]
+        return rec, None, grid
     out = run_once("steady")
+    rec = record(out, "steady")
+    rec["cold_setup_s"] = round(cold.get("setup"), 3)
+    rec["cold_solve_s"] = round(cold.get("solve"), 3)
+    rec["cold_value"] = round((cold.get("setup")
+                               + cold.get("solve")) / mdof, 3)
+    return rec, out, grid
 
-    n = grid.n_nodes
-    x_true = jnp.arange(1.0, n + 1, dtype=jnp.float64)
-    err = float(jnp.max(jnp.abs(jnp.asarray(out.x) - x_true))) / n
 
-    t_setup = out.timers.get("setup")
-    t_solve = out.timers.get("solve")
-    mdof = n / 1e6
-    per_mdof = (t_setup + t_solve) / mdof
-    target = 60.0  # conservative 64-rank MPI CPU GenEO wall proxy
+def _structured_roofline(rec, out, grid, dom_g, overlap):
+    """Attach roofline/MFU accounting for the hot kernels (advisory —
+    never fails the bench)."""
+    try:
+        from geneo4petsc_tpu.utils import roofline as rl
+        pencils = None
+        if _remaining() > 150:
+            try:
+                pencils = rl_structured_pencils(grid, dom_g, overlap,
+                                                out.pc)
+            except Exception as exc:  # noqa: BLE001
+                _log(f"roofline pencils skipped: {exc!r}")
+        rec["roofline"] = rl.measure_structured(
+            out.pc, pencils=pencils,
+            solve_s=rec["solve_s"], inner_its=rec["inner_its"])
+        _log("roofline: " + json.dumps(rec["roofline"]))
+    except Exception as exc:  # noqa: BLE001 — roofline is advisory
+        rec["roofline_error"] = repr(exc)
+        _log(f"roofline failed: {exc!r}")
+    return rec
 
-    return {
-        "metric": "setup+solve sec per MDOF, 10M-DOF 3D high-contrast "
-                  f"Laplacian, GenEO-{opts.lvl1},{opts.lvl2}+CG to true "
-                  "1e-8 (structured FDM/LOBPCG backend; steady-state = "
-                  "2nd in-process run, full setup+solve recomputed, only "
-                  "compile-service RPCs amortized — cold pass under "
-                  "cold_*; vs_baseline target is a 60 s/MDOF 64-rank MPI "
-                  "CPU proxy, not a measured run)",
-        "value": round(per_mdof, 3),
-        "unit": "s/MDOF",
-        "vs_baseline": round(target / per_mdof, 3),
-        "n_dof": n,
-        "n_dom": dom_g ** 3,
-        "overlap": overlap,
-        "dim_e": int(out.stats.real_dim_e.sum()),
-        "inner_its": out.refined.inner_its,
-        "outer_its": out.refined.outer_its,
-        "true_res": out.true_res,
-        "rel_err_max": err,
-        "converged": bool(out.converged),
-        "setup_s": round(t_setup, 3),
-        "solve_s": round(t_solve, 3),
-        "partition_s": round(out.timers.get("partition"), 3),
-        "rhs_s": round(out.timers.get("createA"), 3),
-        "generator_s": round(t_gen, 3),
-        "eig_s": round(out.timers.get("l2_eig"), 3),
-        "cold_setup_s": round(cold.get("setup"), 3),
-        "cold_solve_s": round(cold.get("solve"), 3),
-        "cold_value": round((cold.get("setup")
-                             + cold.get("solve")) / mdof, 3),
-        "device": str(__import__("jax").devices()[0]),
-    }
+
+def rl_structured_pencils(grid, dom_g, overlap, pc, k=8):
+    """Rebuild the GenEO-1 pencils (A_Neu, D A_Dir D) for the LOBPCG
+    step measurement — the same construction as setup_structured
+    (structured/geneo.py), on the live grid."""
+    import jax.numpy as jnp
+
+    from geneo4petsc_tpu.structured import local_ops as lo
+    from geneo4petsc_tpu.structured.decompose import StructuredDecomposition
+    from geneo4petsc_tpu.structured.solvers import diag_congruence
+
+    sd = StructuredDecomposition(grid, (dom_g,) * 3, overlap)
+    pad1 = tuple(p + 1 if g > 1 else 0
+                 for p, g in zip(sd.pad, sd.dom_grid))
+    f = lo.slice_inner(lo.gather_fields(sd, dtype=jnp.float32, pad=pad1),
+                       sd)
+    maskf = f.mask.astype(jnp.float32)
+    pou_b = jnp.where(f.mask, 1.0 / jnp.maximum(f.mult, 1.0),
+                      0.0).astype(jnp.float32)
+    neu = lo.neumann_stencil(f)
+    b_dad = diag_congruence(lo.dirichlet_stencil(f), pou_b)
+    return (neu, b_dad, maskf, pc.l1, k)
 
 
 def bench_nonsep(size, dom_g, overlap):
@@ -229,6 +342,7 @@ def bench_nonsep(size, dom_g, overlap):
     t_setup = out.timers.get("setup")
     t_solve = out.timers.get("solve")
     per_mdof = (t_setup + t_solve) / (n / 1e6)
+    target, target_note = baseline_target()
     return {
         "metric": "setup+solve sec per MDOF, 10M-DOF 3D NON-SEPARABLE "
                   "high-contrast Laplacian (spherical inclusions), "
@@ -236,12 +350,11 @@ def bench_nonsep(size, dom_g, overlap):
                   "1e-8 (inexact-Schwarz surrogate-PCG backend; "
                   "steady-state = 2nd in-process run, full setup+solve "
                   "recomputed, compile-service RPCs amortized — cold "
-                  "pass under cold_*; vs_baseline target is the same "
-                  "60 s/MDOF 64-rank MPI CPU proxy as the separable "
-                  "bench)",
+                  "pass under cold_*; vs_baseline target from "
+                  f"{target_note})",
         "value": round(per_mdof, 3),
         "unit": "s/MDOF",
-        "vs_baseline": round(60.0 / per_mdof, 3),
+        "vs_baseline": round(target / per_mdof, 3),
         "n_dof": n, "n_dom": dom_g ** 3, "overlap": overlap,
         "dim_e": int(out.stats.real_dim_e.sum()),
         "inner_its": out.refined.inner_its,
@@ -308,10 +421,17 @@ def bench_elastic(size, dom_g, overlap):
             {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
         return out
 
-    cold = run_once("cold").timers   # pays compile-service RPCs (10m mode)
-    import gc
-    gc.collect()                  # drop the cold pass's device buffers
-    out = run_once("steady")
+    # fast path (BENCH_SKIP_COLD=1, the default-mode subprocess): ONE
+    # pass against the persistent compile cache — the cold story is
+    # already covered by the Laplacian headline, and the elasticity
+    # record must fit the driver wall budget
+    skip_cold = os.environ.get("BENCH_SKIP_COLD") == "1"
+    cold = None
+    if not skip_cold:
+        cold = run_once("cold").timers  # pays compile-service RPCs
+        import gc
+        gc.collect()              # drop the cold pass's device buffers
+    out = run_once("steady" if not skip_cold else "single")
 
     import jax.numpy as jnp
     n = grid.n_dof
@@ -320,18 +440,21 @@ def bench_elastic(size, dom_g, overlap):
     t_setup = out.timers.get("setup")
     t_solve = out.timers.get("solve")
     per_mdof = (t_setup + t_solve) / (n / 1e6)
-    return {
+    target, target_note = baseline_target()
+    pass_note = ("single pass, persistent compile cache warm"
+                 if skip_cold else
+                 "steady-state = 2nd in-process run, full setup+solve "
+                 "recomputed, compile-service RPCs amortized — cold "
+                 "pass under cold_*")
+    rec = {
         "metric": "setup+solve sec per MDOF, 10M-DOF 3D Q1 ELASTICITY "
                   "(3 dof/node, high-contrast modulus), "
                   f"GenEO-{opts.lvl1},{opts.lvl2}+flexible-CG to true "
-                  "1e-8 (structured vector backend; steady-state = 2nd "
-                  "in-process run, full setup+solve recomputed, "
-                  "compile-service RPCs amortized — cold pass under "
-                  "cold_*; vs_baseline target is the 60 s/MDOF 64-rank "
-                  "MPI CPU proxy)",
+                  f"1e-8 (structured vector backend; {pass_note}; "
+                  f"vs_baseline target from {target_note})",
         "value": round(per_mdof, 3),
         "unit": "s/MDOF",
-        "vs_baseline": round(60.0 / per_mdof, 3),
+        "vs_baseline": round(target / per_mdof, 3),
         "n_dof": n, "n_dom": dom_g ** 3, "overlap": overlap,
         "dim_e": int(out.stats.real_dim_e.sum()),
         "inner_its": out.refined.inner_its,
@@ -342,10 +465,69 @@ def bench_elastic(size, dom_g, overlap):
         "rhs_s": round(out.timers.get("createA"), 3),
         "generator_s": round(t_gen, 3),
         "eig_s": round(out.timers.get("l2_eig"), 3),
-        "cold_setup_s": round(cold.get("setup"), 3),
-        "cold_solve_s": round(cold.get("solve"), 3),
-        "cold_value": round((cold.get("setup")
-                             + cold.get("solve")) / (n / 1e6), 3),
+        "device": str(jax.devices()[0]),
+    }
+    if cold is not None:
+        rec["cold_setup_s"] = round(cold.get("setup"), 3)
+        rec["cold_solve_s"] = round(cold.get("solve"), 3)
+        rec["cold_value"] = round((cold.get("setup")
+                                   + cold.get("solve")) / (n / 1e6), 3)
+    return rec
+
+
+def bench_sharded(size, dom_g, overlap, n_devices=1):
+    """The multi-device plumbing on real hardware: solve_structured
+    routed through shard_structured on an n-device mesh (1 device on the
+    tunneled chip — the sharded code path itself, XLA SPMD partitioner
+    included, is what this exercises; tests/test_cli_multidevice.py runs
+    the same route on the 8-virtual-device CPU mesh)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from geneo4petsc_tpu.config import GenEOOptions, KSPOptions
+    from geneo4petsc_tpu.structured.grid import laplacian_grid
+    from geneo4petsc_tpu.structured.solve import solve_structured
+
+    warm = _start_warmup()
+    grid = laplacian_grid(size, dim=3, kappa_max=10000.0, interp="minmax")
+    warm.join()
+    opts = GenEOOptions()
+    opts.lvl1, opts.lvl2 = "ASM", "E1"
+    opts.els2.type = "lobpcg"
+    opts.cut = 2
+
+    def run_once(tag):
+        out = solve_structured(grid, (dom_g,) * 3, overlap, geneo=opts,
+                               ksp=KSPOptions(type="cg"), tol=1e-8,
+                               n_devices=n_devices)
+        _log(f"{tag} sharded solve done: " + json.dumps(
+            {k: round(v, 2) for k, v in sorted(out.timers.phases.items())}))
+        return out
+
+    run_once("cold")
+    out = run_once("steady")
+    n = grid.n_nodes
+    x_true = jnp.arange(1.0, n + 1, dtype=jnp.float64)
+    err = float(jnp.max(jnp.abs(jnp.asarray(out.x) - x_true))) / n
+    per_mdof = (out.timers.get("setup") + out.timers.get("solve")) / (n / 1e6)
+    target, _note = baseline_target()
+    return {
+        "metric": f"setup+solve sec per MDOF, {size}^3 3D high-contrast "
+                  f"Laplacian on a {n_devices}-device mesh "
+                  "(z-slab sharded vectors, chunk-sharded domain batch, "
+                  "XLA SPMD collectives; steady pass)",
+        "value": round(per_mdof, 3), "unit": "s/MDOF",
+        "vs_baseline": round(target / per_mdof, 3),
+        "n_dof": n, "n_dom": dom_g ** 3, "n_devices": n_devices,
+        "inner_its": out.refined.inner_its,
+        "true_res": out.true_res, "rel_err_max": err,
+        "converged": bool(out.converged),
+        "setup_s": round(out.timers.get("setup"), 3),
+        "solve_s": round(out.timers.get("solve"), 3),
         "device": str(jax.devices()[0]),
     }
 
@@ -434,7 +616,7 @@ def bench_generic(size, n_grid, large):
                   "(generic dense-block path)",
         "value": round(per_mdof, 3),
         "unit": "s/MDOF",
-        "vs_baseline": round(60.0 / per_mdof, 3),
+        "vs_baseline": round(baseline_target()[0] / per_mdof, 3),
         "n_dof": n,
         "n_dom": n_dom,
         "dim_e": int(stats.real_dim_e.sum()),
@@ -453,7 +635,7 @@ def bench_generic(size, n_grid, large):
     }
 
 
-def _run_submode(mode):
+def _run_submode(mode, timeout=5400, env_extra=None):
     """Run one bench mode in a SUBPROCESS and parse its JSON line.
 
     Isolation matters twice over: the 10M-DOF passes leave multi-GB of
@@ -464,10 +646,11 @@ def _run_submode(mode):
     degrades to the headline-only record rather than dying)."""
     import subprocess
     env = dict(os.environ)
+    env.update(env_extra or {})
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), mode],
-            capture_output=True, text=True, timeout=5400, env=env)
+            capture_output=True, text=True, timeout=timeout, env=env)
         for line in reversed(r.stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
@@ -479,25 +662,77 @@ def _run_submode(mode):
     return None
 
 
-def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "default"
-    if mode == "default":
-        # Headline (BASELINE #5 scale target, rounds 1-3 continuity):
-        # 10M-DOF separable Laplacian in-process; then BASELINE #5's
-        # actual problem class — 10.5M-DOF 3D Q1 elasticity — in a
-        # subprocess, merged under "elas_*" keys.
-        out = bench_structured(216, 4, 2)
-        elas = _run_submode("elas10m")
+def _default_mode():
+    """Headline (BASELINE #5 scale target): 10M-DOF separable Laplacian
+    in-process, JSON emitted after EVERY completed stage; then roofline;
+    then BASELINE #5's actual problem class — 10.5M-DOF 3D Q1 elasticity
+    — in a subprocess (single warm-cache pass), merged under "elas_*"."""
+    skipped = []
+    # stage-0 insurance: r03's cold pass alone consumed the driver's
+    # wall budget (524 s of tunnel weather) and NOTHING was recorded.
+    # A null-value line with the failure mode spelled out is the floor.
+    _emit({
+        "metric": "setup+solve sec per MDOF, 10M-DOF 3D high-contrast "
+                  "Laplacian, GenEO+CG to true 1e-8 (structured "
+                  "FDM/LOBPCG backend)",
+        "value": None, "unit": "s/MDOF", "vs_baseline": None,
+        "status": "INCOMPLETE: killed during the first (cold) 10M pass "
+                  "— compile-service weather exceeded the wall budget; "
+                  "see cold_* history in BENCH_r03/ROUND3_NOTES",
+    })
+    rec, steady, grid = bench_structured(216, 4, 2, emit=_emit)
+    if steady is None:
+        skipped.append("steady_pass")
+    rec["skipped"] = skipped
+    _emit(rec)                                # the headline line
+    _log(f"headline emitted at {_elapsed():.0f}s "
+         f"(budget {BUDGET_S:.0f}s)")
+
+    if steady is not None and _remaining() > 60:
+        rec = _structured_roofline(rec, steady, grid, 4, 2)
+        del steady, grid
+        import gc
+        gc.collect()
+        _emit(rec)
+    else:
+        skipped.append("roofline")
+        rec["skipped"] = skipped
+        _emit(rec)
+
+    # elasticity: one warm-cache pass in a fresh process (device memory
+    # isolation) — observed < 200 s with the persistent cache populated
+    if _remaining() > 150:
+        env_extra = {"BENCH_SKIP_COLD": "1"}
+        elas = _run_submode("elas10m", timeout=max(_remaining() - 15, 60),
+                            env_extra=env_extra)
         if elas is not None:
             for k in ("value", "vs_baseline", "n_dof", "dim_e",
                       "true_res", "converged", "setup_s", "solve_s",
-                      "eig_s", "outer_its", "inner_its", "cold_value"):
+                      "eig_s", "outer_its", "inner_its"):
                 if k in elas:
-                    out[f"elas_{k}"] = elas[k]
-            out["elas_metric"] = elas.get("metric", "")
-    elif mode == "10m":
+                    rec[f"elas_{k}"] = elas[k]
+            rec["elas_metric"] = elas.get("metric", "")
+        else:
+            skipped.append("elas10m (subprocess failed/timed out)")
+            rec["skipped"] = skipped
+    else:
+        skipped.append("elas10m (wall budget)")
+        rec["skipped"] = skipped
+    rec["wall_s"] = round(_elapsed(), 1)
+    _emit(rec)                                # final, most complete line
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "default"
+    if mode == "default":
+        _default_mode()
+        return
+    if mode == "10m":
         # BASELINE #5 scale: 10,077,696 DOF (216^3), 64 domains, overlap 2
-        out = bench_structured(216, 4, 2)
+        out, steady, grid = bench_structured(216, 4, 2, emit=_emit,
+                                             budget_guard=False)
+        if steady is not None:
+            out = _structured_roofline(out, steady, grid, 4, 2)
     elif mode == "nonsep10m":
         # BASELINE #5 problem class, scalar: non-separable coefficients
         out = bench_nonsep(216, 4, 2)
@@ -509,8 +744,12 @@ def main():
         out = bench_elastic(152, 4, 2)
     elif mode == "elas1m":
         out = bench_elastic(72, 4, 2)
+    elif mode == "sharded1m":
+        out = bench_sharded(108, 4, 2, n_devices=1)
     elif mode == "3d1m":
-        out = bench_structured(108, 4, 2)
+        out, steady, grid = bench_structured(108, 4, 2, budget_guard=False)
+        if steady is not None:
+            out = _structured_roofline(out, steady, grid, 4, 2)
     elif mode in ("xlarge", "large", "medium"):
         size, n_grid = {"xlarge": (1000, 64), "large": (512, 32),
                         "medium": (180, 16)}[mode]
@@ -518,8 +757,9 @@ def main():
     else:
         size = int(sys.argv[1])
         g = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-        out = bench_structured(size, g, 2)
-    print(json.dumps(out))
+        out, _steady, _g = bench_structured(size, g, 2,
+                                            budget_guard=False)
+    _emit(out)
 
 
 if __name__ == "__main__":
