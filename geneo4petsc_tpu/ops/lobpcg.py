@@ -118,13 +118,18 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
                        precision="highest")
         h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
         # steer the dead (truncated) subspace to the top of the spectrum:
-        # + big * (I - proj).  1e12 (not 1e30): TPU's emulated f64 eigh
-        # squares intermediates in f32-pair arithmetic — 1e30^2 overflows
-        # the f32 head to NaN; 1e12 still sorts dead above every live
-        # Ritz value.
-        big = jnp.asarray(1e12, hi)
+        # + big * (I - proj).  big must be DATA-SCALED, not an absolute
+        # constant: eigh's backward error is ~eps * ||h||, so an absolute
+        # 1e12 in the f32 TPU path wipes out every live Ritz value below
+        # eps*1e12 ~ 1e5 — measured as a hard res~0.4 stall on the
+        # elasticity pencil, whose seeded rigid block guarantees dead
+        # directions (P = 0 columns) from the first iteration.  A few x
+        # max|h| still sorts dead above every live value while keeping
+        # eigh's error at eps * O(||h||).
         m = h.shape[-1]
-        h = h.astype(hi) + big * (jnp.eye(m, dtype=hi) - proj)
+        h = h.astype(hi)
+        big = 8.0 * jnp.max(jnp.abs(h), axis=(-2, -1), keepdims=True) + 1.0
+        h = h + big * (jnp.eye(m, dtype=hi) - proj)
         theta, c = jnp.linalg.eigh(h)
         return s, theta.astype(dtype), c.astype(dtype)
 
@@ -132,7 +137,9 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
         bx = b_op(x)
         x, bx, _ = _whiten(x, bx)
         ax = a_op(x)
-        lam = jnp.einsum("dnm,dnm->dm", x, ax)
+        lam = jnp.einsum("dnm,dnm->dm", x, ax,
+                         preferred_element_type=dtype,
+                         precision="highest")
         r = ax - bx * lam[:, None, :]
         # relative residual of the CURRENT block (free: r is needed
         # anyway).  The ||Bx|| term keeps the scale meaningful for exact
@@ -248,10 +255,12 @@ def batched_lobpcg(a: jax.Array, b: jax.Array, k: int,
                        precision="highest")
         h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
         # steer the dead (truncated) subspace to the top of the spectrum
-        # (see matfree rayleigh_ritz for the 1e12 rationale)
-        big = jnp.asarray(1e12, hi)
+        # with a DATA-SCALED offset (see matfree rayleigh_ritz: an
+        # absolute 1e12 destroys f32 eigh accuracy via eps * ||h||)
         m = h.shape[-1]
-        h = h.astype(hi) + big * (jnp.eye(m, dtype=hi) - proj)
+        h = h.astype(hi)
+        big = 8.0 * jnp.max(jnp.abs(h), axis=(-2, -1), keepdims=True) + 1.0
+        h = h + big * (jnp.eye(m, dtype=hi) - proj)
         theta, c = jnp.linalg.eigh(h)
         return s, theta.astype(dtype), c.astype(dtype)
 

@@ -863,6 +863,9 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
             x_prev = v_
             k_cand = min(k_cand * 2, min(128, n_loc3))
         res_np = np.asarray(res, np.float64)
+        _vlog(f"lobpcg[{label}] w[:,0]="
+              f"{np.array2string(w_np[:, 0], precision=4)} max_res="
+              f"{np.array2string(np.asarray(res).max(-1), precision=2)}")
         base_ = (w_np <= thr[:, None]).sum(axis=1).astype(np.int64)
         if cut_p > 0:
             base_ = np.minimum(base_, cut_p)
