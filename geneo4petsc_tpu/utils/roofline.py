@@ -58,8 +58,12 @@ def device_peaks() -> dict | None:
 
 
 def _time_fn(fn, *args, reps: int = 10) -> float:
-    """Median wall of ``fn(*args)`` with block_until_ready, after one
-    warm call (compile + cache load excluded)."""
+    """MIN wall of ``fn(*args)`` with block_until_ready, after one warm
+    call (compile + cache load excluded).  Min, not median: the wall of
+    one dispatch = device time + host/tunnel overhead, and overhead is
+    strictly additive — the smallest sample is the least-contended one.
+    (Medians on a contended 1-core host produced 27 ms/step phantoms for
+    kernels whose true device time is < 50 us — tst/probe_hotpath.py.)"""
     out = fn(*args)
     jax.block_until_ready(out)
     ts = []
@@ -68,7 +72,7 @@ def _time_fn(fn, *args, reps: int = 10) -> float:
         out = fn(*args)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return float(np.min(ts))
 
 
 def _time_step(step, op, x, reps: int = 5, lo: int = 2,
