@@ -10,6 +10,7 @@ outer step) or host-side through the assembled CSR.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable
 
@@ -20,6 +21,32 @@ import jax.numpy as jnp
 
 from .cg import cg_solve
 from .gmres import gmres_solve
+
+# Module-level jitted helpers, NOT function-local: a fresh ``jax.jit``
+# wrapper per call re-traces and re-loads its executable through the
+# backend's compile service on every invocation — on tunneled TPU
+# platforms each load is an RPC costing ~seconds, and the "steady
+# state" solve was paying it again (measured: 4.6 s solve wall at 1M
+# AND 10M DOF, size-independent => pure service overhead).  A shared
+# wrapper hits jax's in-process trace cache after the first call per
+# (pytree structure, shapes) and dispatches in microseconds.
+
+
+@jax.jit
+def op_matvec(op, x):
+    """Shared jitted ``op.matvec(x)`` (rhs builds, truth matvecs)."""
+    return op.matvec(x)
+
+
+@jax.jit
+def _residual64(op, b, x):
+    r = b - op.matvec(x)
+    return r, jnp.linalg.norm(r)
+
+
+@jax.jit
+def _update64(x, dx):
+    return x + dx.astype(x.dtype)
 
 
 @dataclass
@@ -49,6 +76,25 @@ def make_inner_solver(matvec32: Callable, pc_apply32: Callable | None,
     return jax.jit(inner)
 
 
+@functools.lru_cache(maxsize=None)
+def _pc_inner_jit(eff: bool, ksp_type: str, inner_max_it: int):
+    """One shared jitted inner solver per (eff, ksp, max_it) config —
+    cached so repeated solves reuse the same wrapper (see module note)."""
+    if ksp_type == "cg":
+        @jax.jit
+        def inner(pc_a, r32, rtol):
+            x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
+            return cg_solve(pc_a.batch.matvec, r32, pc_a.apply, x0=x0,
+                            rtol=rtol, max_it=inner_max_it, stall_its=50)
+    else:
+        @jax.jit
+        def inner(pc_a, r32, rtol):
+            x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
+            return gmres_solve(pc_a.batch.matvec, r32, pc_a.apply, x0=x0,
+                               rtol=rtol, max_it=inner_max_it)
+    return inner
+
+
 def make_pc_inner_solver(pc, inner_max_it: int = 2000,
                          ksp_type: str = "cg"):
     """Inner solver with the preconditioner passed as a traced jit ARGUMENT.
@@ -63,18 +109,7 @@ def make_pc_inner_solver(pc, inner_max_it: int = 2000,
     # correction, x0_k = Q r_k — or the simplified apply (which drops the
     # (I - P^T) projection) is not equivalent to the full hybrid one
     eff = bool(getattr(pc, "eff_hybrid", False))
-    if ksp_type == "cg":
-        @jax.jit
-        def inner(pc_a, r32, rtol):
-            x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
-            return cg_solve(pc_a.batch.matvec, r32, pc_a.apply, x0=x0,
-                            rtol=rtol, max_it=inner_max_it, stall_its=50)
-    else:
-        @jax.jit
-        def inner(pc_a, r32, rtol):
-            x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
-            return gmres_solve(pc_a.batch.matvec, r32, pc_a.apply, x0=x0,
-                               rtol=rtol, max_it=inner_max_it)
+    inner = _pc_inner_jit(eff, ksp_type, int(inner_max_it))
     return lambda r32, rtol: inner(pc, r32, rtol)
 
 
@@ -109,15 +144,7 @@ def refined_solve_device(op64, b64, inner_solver: Callable,
         raise RuntimeError("refined_solve_device requires jax_enable_x64")
     b64 = jnp.asarray(b64, jnp.float64)
     bnorm = float(jnp.linalg.norm(b64))
-
-    @_jax.jit
-    def _residual(op, b, x):
-        r = b - op.matvec(x)
-        return r, jnp.linalg.norm(r)
-
-    @_jax.jit
-    def _update(x, dx):
-        return x + dx.astype(jnp.float64)
+    _residual, _update = _residual64, _update64
 
     x = jnp.zeros_like(b64) if x0 is None else jnp.asarray(x0, jnp.float64)
     inner_total = 0

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -715,40 +715,8 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
         return jnp.asarray(cols.reshape(1, n_loc3, 6), dtype)
 
     rigid0 = _rigid_block()
-
-    @partial(jax.jit, static_argnames=("k", "seed_rigid"))
-    def run_lobpcg(a_t, b_t, t_t, maskc_, rigid_, k, seed_rigid=True,
-                   x0_prev=None):
-        # batch size from the (possibly chunk-sliced) arguments
-        dd = maskc_.shape[0]
-        boxc = (dd,) + box[1:]
-        flatc = (dd,) + flat[1:]
-
-        def a_op(v):
-            return a_t.matvec(v.reshape(boxc)).reshape(flatc)
-
-        def b_op(v):
-            return b_t.matvec(v.reshape(boxc)).reshape(flatc)
-
-        def t_op(v):
-            w = t_t.solve(v.reshape(boxc))
-            return w.reshape(flatc) * maskc_[..., None]
-
-        d = maskc_.shape[0]          # chunked batch size
-        x0 = jax.random.normal(jax.random.PRNGKey(0),
-                               (d, n_loc3, k), dtype)
-        x0 = t_op(x0 * maskc_[..., None])
-        if seed_rigid:
-            # rigid modes are exact near-kernel of the tau pencils'
-            # A_Neu; the gamma pencil's extremal vectors are unrelated
-            nr = min(6, k)
-            x0 = x0.at[..., :nr].set(
-                jnp.broadcast_to(rigid_[..., :nr],
-                                 (d, n_loc3, nr)) * maskc_[..., None])
-        if x0_prev is not None:
-            x0 = x0.at[..., :x0_prev.shape[-1]].set(x0_prev)
-        return matfree_lobpcg(a_op, b_op, t_op, x0, max_it=max_it,
-                              tol=float(opts.els2.rtol))
+    run_lobpcg = _elastic_lobpcg_jit(box[1:], jnp.dtype(dtype).name,
+                                     max_it, float(opts.els2.rtol))
 
     # chunk the domain batch to a device-memory budget: the dilated cell
     # gathers cost ~8 * n_cells * 24 * 4 bytes per (domain, column) live
@@ -1024,10 +992,7 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     pad_width = ((0, 0), (pz, pz), (py, py), (px, px), (0, 0), (0, 0))
     md_e = maskd.astype(e_dtype)
 
-    @partial(jax.jit, static_argnames=("size",))
-    def _y_chunk(op_, zc, mc, size):
-        zp = jnp.pad(zc.astype(e_dtype), pad_width)
-        return op_.matvec(zp) * mc[..., None, None]
+    _y_chunk = _y_chunk_jit(pad_width, jnp.dtype(e_dtype).name)
 
     def y_fn(lo, size):
         opc = jax.tree_util.tree_map(
@@ -1067,7 +1032,85 @@ def setup_elastic(g: ElasticGrid, dom_grid, overlap: int,
     return pc, stats
 
 
+@lru_cache(maxsize=None)
+def _y_chunk_jit(pad_width, e_dtype):
+    """Cached jitted dilated-window A.z chunk producer (see below)."""
+    e_dtype = jnp.dtype(e_dtype)
+
+    @partial(jax.jit, static_argnames=("size",))
+    def _y_chunk(op_, zc, mc, size):
+        del size  # static chunk key; shapes carry it
+        zp = jnp.pad(zc.astype(e_dtype), pad_width)
+        return op_.matvec(zp) * mc[..., None, None]
+    return _y_chunk
+
+
+@lru_cache(maxsize=None)
+def _elastic_lobpcg_jit(box_tail, dtype, max_it, tol):
+    """Cached jitted elastic LOBPCG runner: a fresh jit wrapper per
+    setup re-loads its executable through the compile service on every
+    call (see krylov/refine module note).  ``box_tail`` = (sz, sy, sx,
+    3, -1) — the static local-box layout; the batch size comes from the
+    (possibly chunk-sliced) arguments."""
+    dtype = jnp.dtype(dtype)
+    n_loc3 = int(np.prod([s for s in box_tail[:-1]]))
+
+    @partial(jax.jit, static_argnames=("k", "seed_rigid"))
+    def run_lobpcg(a_t, b_t, t_t, maskc_, rigid_, k, seed_rigid=True,
+                   x0_prev=None):
+        # batch size from the (possibly chunk-sliced) arguments
+        dd = maskc_.shape[0]
+        boxc = (dd,) + box_tail
+        flatc = (dd, n_loc3, -1)
+
+        def a_op(v):
+            return a_t.matvec(v.reshape(boxc)).reshape(flatc)
+
+        def b_op(v):
+            return b_t.matvec(v.reshape(boxc)).reshape(flatc)
+
+        def t_op(v):
+            w = t_t.solve(v.reshape(boxc))
+            return w.reshape(flatc) * maskc_[..., None]
+
+        d = maskc_.shape[0]          # chunked batch size
+        x0 = jax.random.normal(jax.random.PRNGKey(0),
+                               (d, n_loc3, k), dtype)
+        x0 = t_op(x0 * maskc_[..., None])
+        if seed_rigid:
+            # rigid modes are exact near-kernel of the tau pencils'
+            # A_Neu; the gamma pencil's extremal vectors are unrelated
+            nr = min(6, k)
+            x0 = x0.at[..., :nr].set(
+                jnp.broadcast_to(rigid_[..., :nr],
+                                 (d, n_loc3, nr)) * maskc_[..., None])
+        if x0_prev is not None:
+            x0 = x0.at[..., :x0_prev.shape[-1]].set(x0_prev)
+        return matfree_lobpcg(a_op, b_op, t_op, x0, max_it=max_it,
+                              tol=tol)
+    return run_lobpcg
+
+
 # ===================== solve driver =====================
+
+@lru_cache(maxsize=None)
+def _elastic_inner_jit(eff: bool, inner_max_it: int):
+    """Shared jitted inner solver (pc as a traced argument): a fresh
+    jit wrapper per solve re-loads its executable through the compile
+    service on every call — see krylov/refine module note."""
+    from ..krylov.cg import cg_solve
+
+    @jax.jit
+    def inner(pc_a, r32, rtol):
+        r32 = r32.astype(pc_a.maskf.dtype)
+        x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
+        # inexact local solves -> flexible CG; stall exit owns the f32
+        # floor (the f64 outer loop owns true convergence)
+        return cg_solve(pc_a.matvec, r32, pc_a.apply, x0=x0, rtol=rtol,
+                        max_it=inner_max_it, stall_its=50, flexible=True)
+
+    return inner
+
 
 def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
                   opts: GenEOOptions | None = None, tol: float = 1e-8,
@@ -1086,7 +1129,6 @@ def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
     scale, and CPU f64 is native-speed so there is nothing to trade."""
     import time as _time
 
-    from ..krylov.cg import cg_solve
     from ..krylov.refine import refined_solve, refined_solve_device
     from ..utils.timers import Timers
     from .solve import StructuredSolveOutput
@@ -1116,7 +1158,8 @@ def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
             from .sharded import shard_refine64
             op64, shard_vec64 = shard_refine64(op64, mesh)
             x_true = shard_vec64(x_true)
-        b = jax.jit(lambda o, x: o.matvec(x))(op64, x_true)
+        from ..krylov.refine import op_matvec
+        b = op_matvec(op64, x_true)
         jax.block_until_ready(b)
     else:
         op64 = None
@@ -1139,15 +1182,7 @@ def solve_elastic(g: ElasticGrid, dom_grid, overlap: int,
 
     t0 = _time.perf_counter()
     eff = bool(opts.eff_hybrid)
-
-    @jax.jit
-    def inner(pc_a, r32, rtol):
-        r32 = r32.astype(pc_a.maskf.dtype)
-        x0 = pc_a.apply_q(r32).astype(r32.dtype) if eff else None
-        # inexact local solves -> flexible CG; stall exit owns the f32
-        # floor (the f64 outer loop owns true convergence)
-        return cg_solve(pc_a.matvec, r32, pc_a.apply, x0=x0, rtol=rtol,
-                        max_it=inner_max_it, stall_its=50, flexible=True)
+    inner = _elastic_inner_jit(eff, int(inner_max_it))
 
     if shard_vec is None:
         inner_fn = lambda r32, rtol: inner(pc, r32, rtol)

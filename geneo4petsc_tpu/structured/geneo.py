@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from itertools import product
 
 import numpy as np
@@ -248,6 +248,147 @@ def _tau_loc_structured(sd: StructuredDecomposition, tau: float,
     return np.where(k > 0, t, tau)
 
 
+# Cached jit factories for the setup hot path.  A fresh ``jax.jit``
+# wrapper per setup call re-traces and re-LOADS its executable through
+# the backend compile service on every invocation — on tunneled TPU
+# platforms each load is an RPC costing ~seconds, which dominated the
+# steady-state setup wall.  These factories close only over PYTHON
+# STATICS (shapes, dtypes, window slices — hashable on py3.12), never
+# arrays, so one wrapper per configuration is safe to share.
+
+@lru_cache(maxsize=None)
+def _all_blocks_jit(offs_used, dom_grid, sub, ptype):
+    @jax.jit
+    def all_blocks(z_, y_):
+        """One compiled program for every neighbor-offset contraction."""
+        def one(off, ws):
+            ox, oy, oz = off
+            ((zwx, ywx), (zwy, ywy), (zwz, ywz)) = ws
+            zr = halo.from_batch(z_, dom_grid)      # [gz, gy, gx, ...]
+            for gaxis, o in ((2, ox), (1, oy), (0, oz)):
+                if o:
+                    zr = jnp.roll(zr, -o, axis=gaxis)
+            zwin = halo.to_batch(zr)[:, zwz, zwy, zwx].astype(ptype)
+            ywin = y_[:, ywz, ywy, ywx]
+            return jnp.einsum(sub, zwin, ywin,
+                              preferred_element_type=ptype,
+                              precision="highest")
+        return jnp.stack([one(off, ws)
+                          for off, ws in offs_used])  # [n_off, d, k, k]
+    return all_blocks
+
+
+@lru_cache(maxsize=None)
+def _stream_chunk_jit(ptype):
+    @partial(jax.jit, static_argnames=("ws", "z_start", "size", "y_off"))
+    def _stream_chunk(z_, y_c, ws, z_start, size, y_off):
+        ((zwx, ywx), (zwy, ywy), (zwz, ywz)) = ws
+        zwin = jax.lax.slice_in_dim(
+            z_, z_start, z_start + size,
+            axis=0)[:, zwz, zwy, zwx].astype(ptype)
+        ywin = jax.lax.slice_in_dim(
+            y_c, y_off, y_off + size, axis=0)[:, ywz, ywy, ywx]
+        kk, mm = zwin.shape[-1], ywin.shape[-1]
+        z2 = zwin.reshape(size, -1, kk)
+        y2 = ywin.reshape(size, -1, mm)
+        return jnp.einsum("dnk,dnm->dkm", z2, y2,
+                          preferred_element_type=ptype,
+                          precision="highest")
+    return _stream_chunk
+
+
+@lru_cache(maxsize=None)
+def _stream_all_jit(offs_used, o_lin_all, ptype):
+    @jax.jit
+    def _stream_all(z_, y_c, lo_d):
+        """ALL offset contractions of a size-1 domain chunk in ONE
+        dispatch (the per-offset loop costs 27x the tunnel's RPC
+        round trip per chunk); invalid offsets read a clamped row
+        whose result the host discards."""
+        out = []
+        for (off, ws), o_lin in zip(offs_used, o_lin_all):
+            ((zwx, _ywx), (zwy, _ywy), (zwz, _ywz)) = ws
+            ((_zwx, ywx), (_zwy, ywy), (_zwz, ywz)) = ws
+            idx = jnp.clip(lo_d + o_lin, 0, z_.shape[0] - 1)
+            zwin = jax.lax.dynamic_slice_in_dim(
+                z_, idx, 1, axis=0)[:, zwz, zwy, zwx].astype(ptype)
+            ywin = y_c[:, ywz, ywy, ywx]
+            kk, mm = zwin.shape[-1], ywin.shape[-1]
+            z2 = zwin.reshape(1, -1, kk)
+            y2 = ywin.reshape(1, -1, mm)
+            out.append(jnp.einsum("dnk,dnm->dkm", z2, y2,
+                                  preferred_element_type=ptype,
+                                  precision="highest")[0])
+        return jnp.stack(out)             # [n_off, k, k]
+    return _stream_all
+
+
+@lru_cache(maxsize=None)
+def _one_chunk_jit(ptype):
+    @partial(jax.jit, static_argnames=("ws", "lo_d", "size", "o_lin"))
+    def _one_chunk(z_, y_, ws, lo_d, size, o_lin):
+        ((zwx, ywx), (zwy, ywy), (zwz, ywz)) = ws
+        zwin = jax.lax.slice_in_dim(
+            z_, lo_d + o_lin, lo_d + o_lin + size,
+            axis=0)[:, zwz, zwy, zwx].astype(ptype)
+        ywin = jax.lax.slice_in_dim(
+            y_, lo_d, lo_d + size, axis=0)[:, ywz, ywy, ywx]
+        # flatten the window to a plain batched GEMM [d, N, k] x
+        # [d, N, m]: the 6-D emulated-f64 dot lowers with per-axis
+        # tiling blowups (compile-time OOM at 152^3)
+        kk = zwin.shape[-1]
+        mm = ywin.shape[-1]
+        z2 = zwin.reshape(size, -1, kk)
+        y2 = ywin.reshape(size, -1, mm)
+        return jnp.einsum("dnk,dnm->dkm", z2, y2,
+                          preferred_element_type=ptype,
+                          precision="highest")
+    return _one_chunk
+
+
+@lru_cache(maxsize=None)
+def _lobpcg_run_jit(n_loc, dtype, max_it, tol):
+    dtype = jnp.dtype(dtype)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def run_lobpcg(a_st, b_st, maskf_, t_tree, k, x0_prev=None):
+        # rebind closures on the jitted arguments (operator pytrees must
+        # be traced arguments, never closed-over constants)
+        a_o, b_o, t_o = _flat_ops(a_st, b_st, maskf_, t_tree)
+        d = maskf_.shape[0]
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (d, n_loc, k),
+                               dtype)
+        x0 = x0 * maskf_.reshape(d, n_loc)[..., None]
+        x0 = t_o(x0)
+        if x0_prev is not None:
+            # warm restart: keep the previously converged block, top up
+            # with fresh preconditioned-random columns only
+            x0 = x0.at[..., :x0_prev.shape[-1]].set(x0_prev)
+        return matfree_lobpcg(a_o, b_o, t_o, x0, max_it=max_it, tol=tol)
+    return run_lobpcg
+
+
+@lru_cache(maxsize=None)
+def _bt_inertia_jit(ip_strides):
+    from .block_tridiag import bt_inertia
+
+    @jax.jit
+    def inertia(d, cfs, cpl):
+        # strides must stay static under jit (they drive slice bounds
+        # in _assemble_plane) — close over them and pass only the
+        # coefficient arrays as traced operands
+        return bt_inertia(d, list(zip(cfs, ip_strides)), cpl)
+    return inertia
+
+
+@jax.jit
+def _nicolaides_forms(neu_, btau_, ones_b):
+    num = jnp.einsum("dzyx,dzyx->d", ones_b, neu_.matvec(ones_b))
+    den = jnp.einsum("dzyx,dzyx->d", ones_b, btau_.matvec(ones_b))
+    nr = jnp.sum(ones_b.reshape(ones_b.shape[0], -1) > 0, axis=1)
+    return num, den, nr
+
+
 def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
               y_dil: jax.Array | None, counts: np.ndarray,
               y_fn=None, e_dtype=None, y_step=None) -> np.ndarray:
@@ -305,24 +446,8 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
     # copy alone is ~1 GB and fragmentation kills the allocation)
     ptype = e_dtype if y_dil is None else y_dil.dtype
 
-    def _one_block(z_, y_, off, ws):
-        (ox, oy, oz) = off
-        ((zwx, ywx), (zwy, ywy), (zwz, ywz)) = ws
-        z_b = halo.from_batch(z_, sd.dom_grid)      # [gz, gy, gx, ...]
-        zr = z_b
-        for gaxis, o in ((2, ox), (1, oy), (0, oz)):
-            if o:
-                zr = jnp.roll(zr, -o, axis=gaxis)
-        zwin = halo.to_batch(zr)[:, zwz, zwy, zwx].astype(ptype)
-        ywin = y_[:, ywz, ywy, ywx]
-        return jnp.einsum(sub, zwin, ywin, preferred_element_type=ptype,
-                          precision="highest")
-
-    @jax.jit
-    def all_blocks(z_, y_):
-        """One compiled program for every neighbor-offset contraction."""
-        return jnp.stack([_one_block(z_, y_, off, ws)
-                          for off, ws in offs_used])  # [n_off, d, k, k]
+    all_blocks = _all_blocks_jit(tuple(offs_used), tuple(sd.dom_grid),
+                                 sub, ptype)
 
     # one fused program when the rolled copies fit comfortably; at
     # elasticity scale (f64 component-blocked z) the n_off-way roll+
@@ -333,21 +458,7 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
     if y_fn is not None:
         # STREAMED: domain chunks outer (y built on demand), offsets
         # inner — peak extra device memory is ONE y chunk + one window
-        @partial(jax.jit, static_argnames=("ws", "z_start", "size",
-                                           "y_off"))
-        def _stream_chunk(z_, y_c, ws, z_start, size, y_off):
-            ((zwx, ywx), (zwy, ywy), (zwz, ywz)) = ws
-            zwin = jax.lax.slice_in_dim(
-                z_, z_start, z_start + size,
-                axis=0)[:, zwz, zwy, zwx].astype(ptype)
-            ywin = jax.lax.slice_in_dim(
-                y_c, y_off, y_off + size, axis=0)[:, ywz, ywy, ywx]
-            kk, mm = zwin.shape[-1], ywin.shape[-1]
-            z2 = zwin.reshape(size, -1, kk)
-            y2 = ywin.reshape(size, -1, mm)
-            return jnp.einsum("dnk,dnm->dkm", z2, y2,
-                              preferred_element_type=ptype,
-                              precision="highest")
+        _stream_chunk = _stream_chunk_jit(ptype)
 
         _sdbg = _os_e.environ.get("GENEO_SETUP_VERBOSE") == "1"
         import sys as _sys_e
@@ -355,28 +466,8 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
         _st0 = _time_e.perf_counter()
         o_lin_all = [off[0] + gx * off[1] + gx * gy * off[2]
                      for off, _w in offs_used]
-
-        @jax.jit
-        def _stream_all(z_, y_c, lo_d):
-            """ALL offset contractions of a size-1 domain chunk in ONE
-            dispatch (the per-offset loop costs 27x the tunnel's RPC
-            round trip per chunk); invalid offsets read a clamped row
-            whose result the host discards."""
-            out = []
-            for (off, ws), o_lin in zip(offs_used, o_lin_all):
-                ((zwx, _ywx), (zwy, _ywy), (zwz, _ywz)) = ws
-                ((_zwx, ywx), (_zwy, ywy), (_zwz, ywz)) = ws
-                idx = jnp.clip(lo_d + o_lin, 0, z_.shape[0] - 1)
-                zwin = jax.lax.dynamic_slice_in_dim(
-                    z_, idx, 1, axis=0)[:, zwz, zwy, zwx].astype(ptype)
-                ywin = y_c[:, ywz, ywy, ywx]
-                kk, mm = zwin.shape[-1], ywin.shape[-1]
-                z2 = zwin.reshape(1, -1, kk)
-                y2 = ywin.reshape(1, -1, mm)
-                out.append(jnp.einsum("dnk,dnm->dkm", z2, y2,
-                                      preferred_element_type=ptype,
-                                      precision="highest")[0])
-            return jnp.stack(out)             # [n_off, k, k]
+        _stream_all = _stream_all_jit(tuple(offs_used), tuple(o_lin_all),
+                                      ptype)
 
         d_step = y_step if y_step else max(n_dom // 8, 1)
         blocks = np.zeros((len(offs_used), n_dom, k_max, k_max))
@@ -419,25 +510,7 @@ def _coarse_e(sd: StructuredDecomposition, z: jax.Array,
         # roll, and NO transpose: nothing beyond the window-sized
         # einsum operands is ever allocated (the tunneled TPU runtime
         # reclaims churn poorly; keep late-phase allocations tiny).
-        @partial(jax.jit, static_argnames=("ws", "lo_d", "size",
-                                           "o_lin"))
-        def _one_chunk(z_, y_, ws, lo_d, size, o_lin):
-            ((zwx, ywx), (zwy, ywy), (zwz, ywz)) = ws
-            zwin = jax.lax.slice_in_dim(
-                z_, lo_d + o_lin, lo_d + o_lin + size,
-                axis=0)[:, zwz, zwy, zwx].astype(ptype)
-            ywin = jax.lax.slice_in_dim(
-                y_, lo_d, lo_d + size, axis=0)[:, ywz, ywy, ywx]
-            # flatten the window to a plain batched GEMM [d, N, k] x
-            # [d, N, m]: the 6-D emulated-f64 dot lowers with per-axis
-            # tiling blowups (compile-time OOM at 152^3)
-            kk = zwin.shape[-1]
-            mm = ywin.shape[-1]
-            z2 = zwin.reshape(size, -1, kk)
-            y2 = ywin.reshape(size, -1, mm)
-            return jnp.einsum("dnk,dnm->dkm", z2, y2,
-                              preferred_element_type=ptype,
-                              precision="highest")
+        _one_chunk = _one_chunk_jit(ptype)
 
         d_step = max(n_dom // 8, 1)
         k_m = z.shape[-1]
@@ -580,22 +653,8 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     max_it = min(int(opts.els2.max_it), 400) \
         if opts.els2.max_it < 10000 else 100
 
-    @partial(jax.jit, static_argnames=("k",))
-    def run_lobpcg(a_st, b_st, maskf_, t_tree, k, x0_prev=None):
-        # rebind closures on the jitted arguments (operator pytrees must
-        # be traced arguments, never closed-over constants)
-        a_o, b_o, t_o = _flat_ops(a_st, b_st, maskf_, t_tree)
-        d = maskf_.shape[0]
-        x0 = jax.random.normal(jax.random.PRNGKey(0), (d, n_loc, k),
-                               dtype)
-        x0 = x0 * maskf_.reshape(d, n_loc)[..., None]
-        x0 = t_o(x0)
-        if x0_prev is not None:
-            # warm restart: keep the previously converged block, top up
-            # with fresh preconditioned-random columns only
-            x0 = x0.at[..., :x0_prev.shape[-1]].set(x0_prev)
-        return matfree_lobpcg(a_o, b_o, t_o, x0, max_it=max_it,
-                              tol=float(opts.els2.rtol))
+    run_lobpcg = _lobpcg_run_jit(n_loc, jnp.dtype(dtype).name, max_it,
+                                 float(opts.els2.rtol))
 
     # LOBPCG live set ~ 16 k-column [chunk, n_loc] panels; chunk the
     # domain batch to a device-memory budget (one compiled executable per
@@ -708,7 +767,6 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
                 int(np.argmax(sd.local_shape))], 1)
             if not opts.no_syl and s2_est <= 192 and solvers.bt_bytes(
                     n_dom, sd.local_shape) <= 2e9:
-                from .block_tridiag import bt_inertia
                 beta = jnp.asarray(-thr, dtype).reshape(-1, 1, 1, 1)
                 pen = lo.LocalStencil(
                     diag=a_st.diag + beta * b_st.diag,
@@ -716,15 +774,11 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
                                in zip(a_st.offs, b_st.offs)))
                 axis = lo.plane_axis(sd.local_shape)
                 dp, ip, cc = lo.plane_coefficients(pen, axis)
-                # strides must stay static under jit (they drive slice
-                # bounds in _assemble_plane) — close over them and pass
-                # only the coefficient arrays as traced operands
                 ip_strides = tuple(st for _, st in ip)
                 ip_coeffs = [cf for cf, _ in ip]
-                syl = np.asarray(jax.jit(
-                    lambda d, cfs, cpl: bt_inertia(
-                        d, list(zip(cfs, ip_strides)), cpl))(
-                            dp, ip_coeffs, cc), np.int64)
+                syl = np.asarray(
+                    _bt_inertia_jit(ip_strides)(dp, ip_coeffs, cc),
+                    np.int64)
                 k_cand = int(np.clip(syl.max(), 1, min(128, n_loc)))
                 _vlog(f"sylvester[{label}] estimates done "
                       f"(k_cand={k_cand})")
@@ -821,14 +875,6 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
     # quadratic forms of the constant vector through the stencil operators
     # (one jitted program + one pull of three [n_dom] vectors)
     b_tau = pencils[0][2]
-
-    @jax.jit
-    def _nicolaides_forms(neu_, btau_, ones_b):
-        num = jnp.einsum("dzyx,dzyx->d", ones_b, neu_.matvec(ones_b))
-        den = jnp.einsum("dzyx,dzyx->d", ones_b, btau_.matvec(ones_b))
-        nr = jnp.sum(ones_b.reshape(ones_b.shape[0], -1) > 0, axis=1)
-        return num, den, nr
-
     _num, _den, _nr = _nicolaides_forms(neu, b_tau, maskf)
     num_all = np.asarray(_num, np.float64)
     den_all = np.asarray(_den, np.float64)

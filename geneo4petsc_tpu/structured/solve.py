@@ -10,6 +10,7 @@ O(N) vectors + O(n_dom L^2) FDM factors + the coarse space.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 
@@ -51,18 +52,15 @@ class StructuredSolveOutput:
         return self.refined.inner_its
 
 
-def make_structured_inner(pc: StructuredGenEO, inner_max_it: int = 2000,
-                          ksp_type: str = "cg"):
-    """Inner f32 Krylov correction solver with the preconditioner as a
-    traced jit ARGUMENT (never close a jit over operator pytrees —
-    constant folding blows compile time; see krylov/refine)."""
-    eff = bool(pc.eff_hybrid)
+@functools.lru_cache(maxsize=None)
+def _structured_inner_jit(eff: bool, ksp_type: str, flexible: bool,
+                          inner_max_it: int):
+    """One shared jitted inner solver per config: a fresh ``jax.jit``
+    wrapper per solve re-loads its executable through the compile
+    service on EVERY call (~seconds over a tunneled TPU); a cached
+    wrapper hits the in-process trace cache (see krylov/refine)."""
     solver = cg_solve if ksp_type == "cg" else gmres_solve
-    # inner correction solves stop on stagnation: the f32 residual floor
-    # is problem-scaled, and the f64 outer loop owns true convergence.
-    # Inexact level-1 solves (PCG local solver) make the preconditioner
-    # slightly variable -> flexible CG (Polak-Ribiere beta)
-    extra = {"stall_its": 50, "flexible": not pc.l1_exact} \
+    extra = {"stall_its": 50, "flexible": flexible} \
         if ksp_type == "cg" else {}
 
     @jax.jit
@@ -75,6 +73,20 @@ def make_structured_inner(pc: StructuredGenEO, inner_max_it: int = 2000,
         return solver(pc_a.matvec, r32, pc_a.apply, x0=x0,
                       rtol=rtol, max_it=inner_max_it, **extra)
 
+    return inner
+
+
+def make_structured_inner(pc: StructuredGenEO, inner_max_it: int = 2000,
+                          ksp_type: str = "cg"):
+    """Inner f32 Krylov correction solver with the preconditioner as a
+    traced jit ARGUMENT (never close a jit over operator pytrees —
+    constant folding blows compile time; see krylov/refine)."""
+    # inner correction solves stop on stagnation: the f32 residual floor
+    # is problem-scaled, and the f64 outer loop owns true convergence.
+    # Inexact level-1 solves (PCG local solver) make the preconditioner
+    # slightly variable -> flexible CG (Polak-Ribiere beta)
+    inner = _structured_inner_jit(bool(pc.eff_hybrid), ksp_type,
+                                  not pc.l1_exact, int(inner_max_it))
     return lambda r32, rtol: inner(pc, r32, rtol)
 
 
@@ -181,7 +193,8 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
             x_true = shard_vec64(x_true)
         # operator as a traced argument (closure constants overflow the
         # remote compile service at scale)
-        b = jax.jit(lambda g, x: g.matvec(x))(gop64, x_true)
+        from ..krylov.refine import op_matvec
+        b = op_matvec(gop64, x_true)
         jax.block_until_ready(b)
     else:
         _x_true, b = grid.manufactured_rhs()
