@@ -254,7 +254,8 @@ def _structured_roofline(rec, out, grid, dom_g, overlap):
                 _log(f"roofline pencils skipped: {exc!r}")
         rec["roofline"] = rl.measure_structured(
             out.pc, pencils=pencils,
-            solve_s=rec["solve_s"], inner_its=rec["inner_its"])
+            solve_s=rec["solve_s"], inner_its=rec["inner_its"],
+            budget_s=max(_remaining() - 30, 10))
         _log("roofline: " + json.dumps(rec["roofline"]))
     except Exception as exc:  # noqa: BLE001 — roofline is advisory
         rec["roofline_error"] = repr(exc)

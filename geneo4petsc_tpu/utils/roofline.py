@@ -118,11 +118,25 @@ def _entry(secs: float, gbytes: float, gflops: float, model: str,
 
 def measure_structured(pc, reps: int = 10, pencils=None,
                        solve_s: float | None = None,
-                       inner_its: int | None = None) -> dict:
+                       inner_its: int | None = None,
+                       budget_s: float | None = None) -> dict:
     """Roofline dict for a StructuredGenEO preconditioner (live on
     device).  ``pencils``: optional (a_st, b_st, maskf, t_tree, k) to
     measure a real LOBPCG step; ``solve_s``/``inner_its``: measured
-    solve-phase wall + iteration count for the aggregate entry."""
+    solve-phase wall + iteration count for the aggregate entry.
+
+    ``budget_s``: hard wall for the MEASUREMENT phase — each kernel's
+    timing (chain compiles through the tunneled compile service can cost
+    tens of seconds in bad weather) is skipped once the budget is spent,
+    recording what was dropped under ``skipped``.  The analytic
+    solve_phase aggregate is free and always emitted."""
+    t_start = time.perf_counter()
+
+    def over_budget():
+        return (budget_s is not None
+                and time.perf_counter() - t_start > budget_s)
+
+    skipped = []
     peaks = device_peaks()
     n = int(np.prod(pc.grid_shape))
     d = int(np.prod(pc.dom_grid))
@@ -136,12 +150,16 @@ def measure_structured(pc, reps: int = 10, pencils=None,
     x = jnp.arange(1.0, n + 1, dtype=jnp.float32) / n
 
     # --- global stencil matvec: y = diag*x + sum_axis off*shift(x) ---
-    t = _time_step(lambda g, v: g.matvec(v), pc.gop, x, reps=reps)
     mv_bytes = 6 * n * isz          # x, y, diag, 3 edge-offdiag fields
     mv_flops = 14 * n               # 3 axes x (2 mul + 2 add) + diag fma
-    out["stencil_matvec"] = _entry(
-        t, mv_bytes / 1e9, mv_flops / 1e9,
-        "6 f32 arrays of n (x,y,diag,3 off-fields); 14 flops/node", peaks)
+    if over_budget():
+        skipped.append("stencil_matvec")
+    else:
+        t = _time_step(lambda g, v: g.matvec(v), pc.gop, x, reps=reps)
+        out["stencil_matvec"] = _entry(
+            t, mv_bytes / 1e9, mv_flops / 1e9,
+            "6 f32 arrays of n (x,y,diag,3 off-fields); 14 flops/node",
+            peaks)
 
     # --- batched level-1 solve (FDM fast-diagonalization) ---
     from ..structured import halo
@@ -149,7 +167,7 @@ def measure_structured(pc, reps: int = 10, pencils=None,
     xb = halo.to_batch(halo.halo_gather(
         x, pc.grid_shape, pc.dom_grid, pc.pad))
     jax.block_until_ready(xb)
-    if isinstance(pc.l1, FDMFactor):
+    if isinstance(pc.l1, FDMFactor) and not over_budget():
         t = _time_step(lambda s, v: s.solve(v), pc.l1, xb, reps=reps)
         # 6 axis transforms (3 fwd + 3 inv) + eigen-scale: each pass
         # streams the [d, n_l] block once in + once out
@@ -163,26 +181,34 @@ def measure_structured(pc, reps: int = 10, pencils=None,
             e["frac_of_mxu_f32_peak"] = round(
                 (l1_flops / 1e9) / t / f32_peak, 4)
         out["fdm_apply"] = e
+    elif isinstance(pc.l1, FDMFactor):
+        skipped.append("fdm_apply")
 
     # --- full preconditioner apply (per-iteration cost) ---
-    t = _time_step(lambda p, v: p.apply(v), pc, x, reps=reps)
     # gather (n + d*n_l) + L1 passes + scatter (d*n_l + n) [+ coarse Z
     # einsums: 2 reads of z [d*n_l*k] when a level-2 term runs per-apply]
     pa_bytes = (2 * n + 2 * d * n_l + (6 * 2 + 2) * d * n_l) * isz
     if pc.lvl2 and not pc.eff_hybrid and pc.z is not None:
         pa_bytes += 2 * d * n_l * pc.k_max * isz
-    out["pc_apply"] = _entry(
-        t, pa_bytes / 1e9, 0.0,
-        "halo gather + L1 solve + scatter-add (+ 2 z-basis streams "
-        "when level-2 applies per-iteration)", peaks)
+    if over_budget():
+        skipped.append("pc_apply")
+    else:
+        t = _time_step(lambda p, v: p.apply(v), pc, x, reps=reps)
+        out["pc_apply"] = _entry(
+            t, pa_bytes / 1e9, 0.0,
+            "halo gather + L1 solve + scatter-add (+ 2 z-basis streams "
+            "when level-2 applies per-iteration)", peaks)
 
     # --- one LOBPCG step on the real GenEO pencils ---
     if pencils is not None:
-        try:
-            out["lobpcg_step"] = _lobpcg_step(pencils, n_l, d, peaks,
-                                              reps=max(3, reps // 2))
-        except Exception as exc:  # noqa: BLE001 — roofline is advisory
-            out["lobpcg_step_error"] = repr(exc)
+        if over_budget():
+            skipped.append("lobpcg_step")
+        else:
+            try:
+                out["lobpcg_step"] = _lobpcg_step(
+                    pencils, n_l, d, peaks, reps=max(3, reps // 2))
+            except Exception as exc:  # noqa: BLE001 — advisory
+                out["lobpcg_step_error"] = repr(exc)
 
     # --- solve-phase aggregate: measured wall vs analytic per-it HBM ---
     if solve_s and inner_its:
@@ -202,6 +228,8 @@ def measure_structured(pc, reps: int = 10, pencils=None,
             agg["frac_of_hbm_peak"] = round(
                 agg["achieved_gbps"] / peaks["hbm_gbps"], 3)
         out["solve_phase"] = agg
+    if skipped:
+        out["skipped"] = skipped
     return out
 
 

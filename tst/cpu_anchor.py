@@ -105,32 +105,37 @@ def domain_nodes(bounds, shape):
     return idx[z0:z1, y0:y1, x0:x1].ravel()
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=108,
-                    help="grid edge (108^3 = 1.26M DOF, the 1M config)")
-    ap.add_argument("--dom", type=int, default=4)
-    ap.add_argument("--overlap", type=int, default=2)
-    ap.add_argument("--cut", type=int, default=2)
-    ap.add_argument("--update", action="store_true")
-    a = ap.parse_args()
+def run_anchor(size, dom=4, overlap=2, cut=2, verbose=True, tau=None,
+               eig_tol=1e-3):
+    """Run the full scipy GenEO-ASM,E1 solve; returns the record dict.
 
+    This is an INDEPENDENT implementation of the algorithm (scipy
+    splu/eigsh/numpy CG — no code shared with geneo4petsc_tpu's solver
+    stack beyond the coefficient-field generator), so its iteration
+    count is a cross-implementation anchor in the PETSc+SLEPc role:
+    tests/test_cross_impl.py asserts the TPU path reproduces it.
+
+    ``tau``: keep only eigenpairs with lambda <= tau (at least one per
+    domain — the reference's [0,tau] filter + non-empty rule,
+    src/geneo.cpp:713-714, :1303-1314).  None (the perf-anchor default)
+    keeps all ``cut`` modes, matching the pinned cpu_anchor.json."""
     from geneo4petsc_tpu.structured.grid import laplacian_grid
 
-    grid = laplacian_grid(a.size, dim=3, kappa_max=10000.0,
+    grid = laplacian_grid(size, dim=3, kappa_max=10000.0,
                           interp="minmax")
     n = grid.n_nodes
     shape = grid.shape
     x_true, b = grid.manufactured_rhs()
 
-    print(f"anchor: n={n} ({a.size}^3), {a.dom}^3 domains, overlap "
-          f"{a.overlap}, cut={a.cut}", flush=True)
+    if verbose:
+        print(f"anchor: n={n} ({size}^3), {dom}^3 domains, overlap "
+              f"{overlap}, cut={cut}", flush=True)
 
     # ---------------- setup phase (timed) ----------------
     t_setup0 = time.perf_counter()
     A = build_csr(grid)
 
-    doms = box_domains(shape, (a.dom,) * 3, a.overlap)
+    doms = box_domains(shape, (dom,) * 3, overlap)
     nodes = [domain_nodes(bd, shape) for bd in doms]
 
     # node multiplicity (partition-of-unity input, geneo4PETSc.cpp:341)
@@ -202,10 +207,16 @@ def main() -> int:
         dv = 1.0 / mult[nd]
         b_dad = sp.diags(dv) @ a_dir @ sp.diags(dv)
         t0 = time.perf_counter()
-        _w, v = spla.eigsh(a_neu.tocsc(), k=a.cut, M=b_dad.tocsc(),
+        _w, v = spla.eigsh(a_neu.tocsc(), k=cut, M=b_dad.tocsc(),
                            sigma=-1e-6 * float(dloc.mean()), which="LM",
-                           tol=1e-3, maxiter=2000)
+                           tol=eig_tol, maxiter=2000)
         setup_eig_s += time.perf_counter() - t0
+        if tau is not None:
+            order = np.argsort(_w)
+            keep = order[_w[order] <= tau]
+            if keep.size == 0:          # non-empty rule
+                keep = order[:1]
+            v = v[:, keep]
         zs.append(dv[:, None] * v)      # D-weighted basis ((7.49) R1)
 
     # global Z, E = Z^T A Z (MatPtAP role), dense Cholesky
@@ -257,9 +268,9 @@ def main() -> int:
     efficiency = 1.0        # ideal linear 64-rank scaling (conservative)
     target = anchor / (64 * efficiency)
     rec = {
-        "config": f"{a.size}^3 3D minmax kappa_max=1e4 Laplacian, "
-                  f"{a.dom}^3 domains, overlap {a.overlap}, "
-                  f"GenEO-ASM,E1 cut={a.cut}, scipy splu/eigsh(ARPACK), "
+        "config": f"{size}^3 3D minmax kappa_max=1e4 Laplacian, "
+                  f"{dom}^3 domains, overlap {overlap}, "
+                  f"GenEO-ASM,E1 cut={cut}, scipy splu/eigsh(ARPACK), "
                   "single core, true 1e-8",
         "n_dof": n,
         "anchor_s_per_mdof": round(anchor, 2),
@@ -275,10 +286,24 @@ def main() -> int:
                            "(hardest-to-beat) target; real MPI runs lose "
                            "efficiency to coarse solve + setup comm",
         "target_s_per_mdof": round(target, 3),
-        "reproduce": f"python tst/cpu_anchor.py --size {a.size}",
+        "reproduce": f"python tst/cpu_anchor.py --size {size}",
     }
-    print(json.dumps(rec, indent=1), flush=True)
-    if true_res > 1e-8:
+    if verbose:
+        print(json.dumps(rec, indent=1), flush=True)
+    return rec
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=108,
+                    help="grid edge (108^3 = 1.26M DOF, the 1M config)")
+    ap.add_argument("--dom", type=int, default=4)
+    ap.add_argument("--overlap", type=int, default=2)
+    ap.add_argument("--cut", type=int, default=2)
+    ap.add_argument("--update", action="store_true")
+    a = ap.parse_args()
+    rec = run_anchor(a.size, a.dom, a.overlap, a.cut)
+    if rec["true_res"] > 1e-8:
         print("ERROR: did not reach true 1e-8", file=sys.stderr)
         return 1
     if a.update:
