@@ -240,22 +240,28 @@ def bench_structured(size, dom_g, overlap, emit=None, budget_guard=True):
     return rec, out, grid
 
 
-def _structured_roofline(rec, out, grid, dom_g, overlap):
+def _structured_roofline(rec, out, grid, dom_g, overlap, budget_s=None):
     """Attach roofline/MFU accounting for the hot kernels (advisory —
     never fails the bench)."""
     try:
         from geneo4petsc_tpu.utils import roofline as rl
         pencils = None
-        if _remaining() > 150:
+        # Pencil rebuild allocates a second set of full-scale fields next
+        # to the live solve buffers — at 10M DOF that exhausts v5e HBM
+        # (observed ResourceExhausted); the LOBPCG kernel roofline is
+        # measured at 1M via `bench.py 3d1m` instead.
+        if _remaining() > 150 and grid.n_nodes <= 4_000_000:
             try:
                 pencils = rl_structured_pencils(grid, dom_g, overlap,
                                                 out.pc)
             except Exception as exc:  # noqa: BLE001
                 _log(f"roofline pencils skipped: {exc!r}")
+        if budget_s is None:
+            budget_s = max(_remaining() - 30, 10)
         rec["roofline"] = rl.measure_structured(
             out.pc, pencils=pencils,
             solve_s=rec["solve_s"], inner_its=rec["inner_its"],
-            budget_s=max(_remaining() - 30, 10))
+            budget_s=budget_s)
         _log("roofline: " + json.dumps(rec["roofline"]))
     except Exception as exc:  # noqa: BLE001 — roofline is advisory
         rec["roofline_error"] = repr(exc)
@@ -689,8 +695,14 @@ def _default_mode():
     _log(f"headline emitted at {_elapsed():.0f}s "
          f"(budget {BUDGET_S:.0f}s)")
 
+    # roofline gets a HARD cap so the elasticity stage (a VERDICT r04
+    # deliverable) keeps a real reservation: in the r04 dry run an
+    # uncapped roofline consumed 253 s and starved the elas subprocess.
+    elas_reserve = 250
     if steady is not None and _remaining() > 60:
-        rec = _structured_roofline(rec, steady, grid, 4, 2)
+        rl_budget = max(min(_remaining() - elas_reserve, 120.0), 10.0)
+        rec = _structured_roofline(rec, steady, grid, 4, 2,
+                                   budget_s=rl_budget)
         del steady, grid
         import gc
         gc.collect()

@@ -197,33 +197,43 @@ def _cell_apply(k0, cw, x):
     """Batched cell-sum y = sum_cells cw * K0 x_cell, static slices only.
 
     x:  [..., wz, wy, wx, 3, m]; cw: [..., wz-1, wy-1, wx-1]
-    The leading ... is the (optional) domain batch."""
-    wz, wy, wx = x.shape[-5:-2]
+    The leading ... is the (optional) domain batch.
+
+    TPU layout note: the element matmul runs in a [24, m*cells] form so
+    every large temporary keeps big minor dimensions.  The naive
+    [..., cells, 24, m] form leaves tiny minor axes (3, m) that the
+    (8, 128) tile pads by up to 43x — observed at 10M DOF as a 330 MB
+    temp padded to 13.2 GB, OOMing the 16 GB v5e HBM at compile time."""
+    lead = x.shape[:-5]
+    nl = len(lead)
+    wz, wy, wx, _, m = x.shape[-5:]
     cz, cy, cx = wz - 1, wy - 1, wx - 1
-    lead = x.ndim - 5
+    ncell = cz * cy * cx
+
+    # component-major working copy [..., 3m, wz, wy, wx] — spatial minor
+    xt = jnp.moveaxis(x.reshape(lead + (wz, wy, wx, 3 * m)), -1, nl)
 
     def cut(a, dx, dy, dz):
-        idx = (Ellipsis, slice(dz, dz + cz), slice(dy, dy + cy),
-               slice(dx, dx + cx), slice(None), slice(None))
-        return a[idx]
+        c = a[..., dz:dz + cz, dy:dy + cy, dx:dx + cx]
+        return c.reshape(lead + (3 * m, ncell))     # compact copy
 
-    xc = jnp.stack([cut(x, dx, dy, dz) for dx, dy, dz in _CORNERS],
-                   axis=lead + 3)                   # [..., c*, 8, 3, m]
-    v = xc.reshape(xc.shape[:lead + 3] + (24, x.shape[-1]))
+    v = jnp.stack([cut(xt, dx, dy, dz) for dx, dy, dz in _CORNERS],
+                  axis=nl)                          # [..., 8, 3m, ncell]
+    v = v.reshape(lead + (24, m * ncell))
     # precision="highest": the TPU MXU's default bf16 passes leave ~1e-3
     # relative error in the f32 element matmul — enough to trip CG's
     # indefiniteness guards (measured: 1.9e-3 matvec error, inner CG
     # exits after 0-4 iterations); the 6-pass product restores true f32
-    w = jnp.einsum("ij,...jm->...im", k0, v,
+    w = jnp.einsum("ij,...jn->...in", k0, v,
                    preferred_element_type=x.dtype, precision="highest")
-    w = w * cw[..., None, None]
-    w = w.reshape(w.shape[:lead + 3] + (8, 3, x.shape[-1]))
-    y = jnp.zeros_like(x)
+    w = w.reshape(lead + (8, 3 * m, cz, cy, cx)) \
+        * cw[..., None, None, :, :, :]
+    y = jnp.zeros_like(xt)
     for n, (dx, dy, dz) in enumerate(_CORNERS):
         idx = (Ellipsis, slice(dz, dz + cz), slice(dy, dy + cy),
-               slice(dx, dx + cx), slice(None), slice(None))
-        y = y.at[idx].add(w[(Ellipsis, n, slice(None), slice(None))])
-    return y
+               slice(dx, dx + cx))
+        y = y.at[idx].add(w[(Ellipsis, n) + (slice(None),) * 4])
+    return jnp.moveaxis(y, nl, -1).reshape(x.shape)
 
 
 def _with_cols(fn, x, has_m):
