@@ -16,14 +16,20 @@ inexact-Schwarz level-1) — in a subprocess, merged under "elas_*" keys.
 Legacy generic-path modes (xlarge/large/medium: the dense-block MatIS
 path at 1M/262k/32k DOF in 2D) remain for comparison.
 
-Emission contract (the driver parses the LAST JSON line on stdout):
-the default mode prints a JSON line after EVERY completed stage — cold
-pass, steady pass, roofline, elasticity — each line a strict superset of
-the previous one, so a wall-budget kill at any point still leaves a
-valid record (round 3 recorded nothing: rc=124 with the single line
-still unprinted).  A BENCH_BUDGET_S guard (default 500 s) skips later
-stages and exits 0 before the driver's own timeout, recording what was
-skipped under "skipped".
+Emission contract (the driver parses the LAST JSON line on stdout and
+keeps only the last ~2000 chars of output): EVERY stdout line is a
+COMPACT record — short metric string, scalar keys, no roofline object,
+no prose — hard-capped at 1800 bytes by ``_emit`` (r03 recorded nothing
+because the line never printed; r04 recorded nothing because the final
+line was 2.4 kB and the tail capture started mid-string).  The full
+records (long metric prose, the roofline/MFU accounting, the complete
+elasticity record) are written to ``BENCH_DETAIL.json`` next to this
+file after every stage.  The default mode prints a compact line after
+EVERY completed stage — insurance, cold pass, steady pass, elasticity,
+roofline — each a strict superset of the previous one, so a wall-budget
+kill at any point still leaves a valid record.  A BENCH_BUDGET_S guard
+(default 500 s) skips later stages and exits 0 before the driver's own
+timeout, recording what was skipped under "skipped".
 
 value = (setup + solve) seconds scaled to one MDOF; lower is better.
 vs_baseline compares against the per-MDOF wall target for the
@@ -61,10 +67,80 @@ def _remaining():
     return BUDGET_S - _elapsed()
 
 
+MAX_LINE_BYTES = 1800   # driver tail capture is 2000 chars; keep margin
+_DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAIL.json")
+
+
+def _write_detail(rec):
+    """Persist the FULL record (long metric prose, roofline object,
+    complete elasticity record) to BENCH_DETAIL.json — the stdout lines
+    stay compact so the driver's 2000-char tail capture always parses."""
+    try:
+        with open(_DETAIL_PATH, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+    except Exception as exc:  # noqa: BLE001 — detail file is advisory
+        _log(f"detail write failed: {exc!r}")
+
+
 def _emit(out):
     """Print the record NOW (flushed): early output is the floor the
-    driver can always parse, later lines only ever extend it."""
-    print(json.dumps(out), flush=True)
+    driver can always parse, later lines only ever extend it.  Hard
+    contract: every stdout line fits the driver's tail capture — shed
+    bulky keys (they live in BENCH_DETAIL.json) before printing."""
+    line = json.dumps(out)
+    if len(line) > MAX_LINE_BYTES:
+        out = dict(out)
+        for k in ("roofline", "elas_metric", "metric"):
+            out.pop(k, None)
+            line = json.dumps(out)
+            if len(line) <= MAX_LINE_BYTES:
+                break
+    assert len(line) <= MAX_LINE_BYTES, \
+        f"bench stdout line is {len(line)} bytes (cap {MAX_LINE_BYTES})"
+    print(line, flush=True)
+
+
+# keys copied into the compact stdout record (everything else — metric
+# prose, roofline, per-phase breakdowns — lives in BENCH_DETAIL.json)
+_COMPACT_KEYS = (
+    "value", "unit", "vs_baseline", "baseline_target_s_per_mdof", "pass",
+    "n_dof", "n_dom", "overlap", "dim_e", "inner_its", "outer_its",
+    "true_res", "converged", "setup_s", "solve_s", "eig_s",
+    "cold_setup_s", "cold_solve_s", "cold_value",
+    "elas_value", "elas_vs_baseline", "elas_n_dof", "elas_dim_e",
+    "elas_setup_s", "elas_solve_s", "elas_eig_s", "elas_converged",
+    "elas_inner_its", "elas_outer_its", "elas_true_res",
+    "pc_apply_gbps", "pc_apply_frac_hbm", "lobpcg_gbps", "status",
+    "skipped", "wall_s", "detail",
+)
+
+_SHORT_METRIC = ("setup+solve s/MDOF: 10M-DOF 3D high-contrast "
+                 "Laplacian (value) + 10.5M-DOF 3D Q1 elasticity "
+                 "(elas_value), GenEO+CG to true 1e-8 on TPU; full "
+                 "prose+roofline in BENCH_DETAIL.json")
+
+
+def _compact(rec):
+    out = {"metric": _SHORT_METRIC}
+    for k in _COMPACT_KEYS:
+        if k in rec:
+            out[k] = rec[k]
+    rl = rec.get("roofline") or {}
+    if "pc_apply" in rl:
+        out["pc_apply_gbps"] = rl["pc_apply"].get("achieved_gbps")
+        out["pc_apply_frac_hbm"] = rl["pc_apply"].get("frac_of_hbm_peak")
+    if "lobpcg_step" in rl:
+        out["lobpcg_gbps"] = rl["lobpcg_step"].get("achieved_gbps")
+    out["detail"] = "BENCH_DETAIL.json"
+    return out
+
+
+def _emit_stage(rec):
+    """Stage emitter for the default mode: full record to the detail
+    file, compact superset line to stdout."""
+    _write_detail(rec)
+    _emit(_compact(rec))
 
 
 def baseline_target():
@@ -151,6 +227,9 @@ def bench_structured(size, dom_g, overlap, emit=None, budget_guard=True):
     opts.els2.type = "lobpcg"
     opts.els2.max_it = int(os.environ.get("BENCH_EIG_IT", "50"))
     opts.cut = int(os.environ.get("BENCH_CUT", "2"))
+    # keep the live tau-pencil arrays for the roofline's lobpcg_step
+    # entry (measured on the REAL solve operators, VERDICT r04 #4)
+    os.environ.setdefault("GENEO_KEEP_PENCILS", "1")
 
     _log(f"solving: n={grid.n_nodes}, {dom_g}^3 domains, overlap {overlap}, "
          f"GenEO-{opts.lvl1},{opts.lvl2}")
@@ -245,23 +324,30 @@ def _structured_roofline(rec, out, grid, dom_g, overlap, budget_s=None):
     never fails the bench)."""
     try:
         from geneo4petsc_tpu.utils import roofline as rl
-        pencils = None
+        if budget_s is None:
+            budget_s = max(_remaining() - 30, 10)
+        # LIVE pencils first (GENEO_KEEP_PENCILS=1 stashes the solve's
+        # own tau-pencil arrays on the stats — no rebuild, no extra HBM,
+        # valid at any scale); fall back to the rebuild below 4M nodes.
+        pencils = getattr(getattr(out, "stats", None), "pencils", None)
         # Pencil rebuild allocates a second set of full-scale fields next
         # to the live solve buffers — at 10M DOF that exhausts v5e HBM
         # (observed ResourceExhausted); the LOBPCG kernel roofline is
-        # measured at 1M via `bench.py 3d1m` instead.
-        if _remaining() > 150 and grid.n_nodes <= 4_000_000:
+        # measured at 1M via `bench.py 3d1m` instead.  The rebuild is
+        # gated on (and billed against) the SAME budget the measurement
+        # phase gets (ADVICE r04 #2).
+        if pencils is None and budget_s > 60 and grid.n_nodes <= 4_000_000:
+            t_pb = time.perf_counter()
             try:
                 pencils = rl_structured_pencils(grid, dom_g, overlap,
                                                 out.pc)
             except Exception as exc:  # noqa: BLE001
                 _log(f"roofline pencils skipped: {exc!r}")
-        if budget_s is None:
-            budget_s = max(_remaining() - 30, 10)
+            budget_s -= time.perf_counter() - t_pb
         rec["roofline"] = rl.measure_structured(
             out.pc, pencils=pencils,
             solve_s=rec["solve_s"], inner_its=rec["inner_its"],
-            budget_s=budget_s)
+            budget_s=max(budget_s, 5))
         _log("roofline: " + json.dumps(rec["roofline"]))
     except Exception as exc:  # noqa: BLE001 — roofline is advisory
         rec["roofline_error"] = repr(exc)
@@ -671,50 +757,34 @@ def _run_submode(mode, timeout=5400, env_extra=None):
 
 def _default_mode():
     """Headline (BASELINE #5 scale target): 10M-DOF separable Laplacian
-    in-process, JSON emitted after EVERY completed stage; then roofline;
-    then BASELINE #5's actual problem class — 10.5M-DOF 3D Q1 elasticity
-    — in a subprocess (single warm-cache pass), merged under "elas_*"."""
+    in-process; then BASELINE #5's actual problem class — 10.5M-DOF 3D
+    Q1 elasticity — in a subprocess (single warm-cache pass, merged
+    under "elas_*"); then the roofline with whatever budget remains.
+    Elasticity runs BEFORE the roofline: r03/r04 both starved it behind
+    advisory stages.  Stdout carries only compact lines (_emit contract);
+    the full records land in BENCH_DETAIL.json."""
     skipped = []
     # stage-0 insurance: r03's cold pass alone consumed the driver's
     # wall budget (524 s of tunnel weather) and NOTHING was recorded.
     # A null-value line with the failure mode spelled out is the floor.
     _emit({
-        "metric": "setup+solve sec per MDOF, 10M-DOF 3D high-contrast "
-                  "Laplacian, GenEO+CG to true 1e-8 (structured "
-                  "FDM/LOBPCG backend)",
+        "metric": _SHORT_METRIC,
         "value": None, "unit": "s/MDOF", "vs_baseline": None,
         "status": "INCOMPLETE: killed during the first (cold) 10M pass "
                   "— compile-service weather exceeded the wall budget; "
                   "see cold_* history in BENCH_r03/ROUND3_NOTES",
     })
-    rec, steady, grid = bench_structured(216, 4, 2, emit=_emit)
+    rec, steady, grid = bench_structured(216, 4, 2, emit=_emit_stage)
     if steady is None:
         skipped.append("steady_pass")
     rec["skipped"] = skipped
-    _emit(rec)                                # the headline line
+    _emit_stage(rec)                          # the headline line
     _log(f"headline emitted at {_elapsed():.0f}s "
          f"(budget {BUDGET_S:.0f}s)")
 
-    # roofline gets a HARD cap so the elasticity stage (a VERDICT r04
-    # deliverable) keeps a real reservation: in the r04 dry run an
-    # uncapped roofline consumed 253 s and starved the elas subprocess.
-    elas_reserve = 250
-    if steady is not None and _remaining() > 60:
-        rl_budget = max(min(_remaining() - elas_reserve, 120.0), 10.0)
-        rec = _structured_roofline(rec, steady, grid, 4, 2,
-                                   budget_s=rl_budget)
-        del steady, grid
-        import gc
-        gc.collect()
-        _emit(rec)
-    else:
-        skipped.append("roofline")
-        rec["skipped"] = skipped
-        _emit(rec)
-
-    # elasticity: one warm-cache pass in a fresh process (device memory
-    # isolation) — observed < 200 s with the persistent cache populated
-    if _remaining() > 150:
+    # elasticity first (VERDICT r04 #2: four rounds of starvation): one
+    # warm-cache pass in a fresh process (device memory isolation)
+    if _remaining() > 60:
         env_extra = {"BENCH_SKIP_COLD": "1"}
         elas = _run_submode("elas10m", timeout=max(_remaining() - 15, 60),
                             env_extra=env_extra)
@@ -727,12 +797,29 @@ def _default_mode():
             rec["elas_metric"] = elas.get("metric", "")
         else:
             skipped.append("elas10m (subprocess failed/timed out)")
-            rec["skipped"] = skipped
+        rec["skipped"] = skipped
+        _emit_stage(rec)
     else:
         skipped.append("elas10m (wall budget)")
         rec["skipped"] = skipped
+        _emit_stage(rec)
+
+    # roofline is advisory — it gets only what remains, and is skipped
+    # outright when the leftover cannot buy a meaningful measurement
+    # (ADVICE r04: a floored budget let it run in windows where its real
+    # wall cost starved the stages the reservation protected)
+    if steady is not None and _remaining() > 75:
+        rec = _structured_roofline(rec, steady, grid, 4, 2,
+                                   budget_s=_remaining() - 30)
+        del steady, grid
+        import gc
+        gc.collect()
+    else:
+        skipped.append("roofline")
+        rec["skipped"] = skipped
     rec["wall_s"] = round(_elapsed(), 1)
-    _emit(rec)                                # final, most complete line
+    _write_detail(rec)
+    _emit(_compact(rec))                      # final, most complete line
 
 
 def main():

@@ -241,6 +241,14 @@ def parse_args(argv: list[str]):
 
 def run(argv: list[str], out=sys.stdout) -> int:
     t_total = time.perf_counter()
+    # multi-process launch (the mpirun -n analogue): GENEO_COORDINATOR/
+    # GENEO_NUM_PROCS/GENEO_PROC_ID env initialize jax.distributed BEFORE
+    # the first backend use — the reference constructs its MPI environment
+    # before PetscInitialize the same way (src/geneo4PETSc.cpp:1580)
+    from .parallel.multiproc import init_from_env
+    if init_from_env():
+        from .parallel.multiproc import process_summary
+        print(f"INFO: distributed: {process_summary()}", file=sys.stderr)
     try:
         drv, ksp, gen, pc_type, check, dbg_level, dbg_fmt, user_cmd = \
             parse_args(argv)

@@ -70,6 +70,11 @@ class GenEOStats:
     # the CLI warns above the EPS tolerance analogue (els2.rtol) and
     # -geneo_chk aborts with per-domain dump files
     lobpcg_res: np.ndarray | None = None
+    # live tau-pencil operators (a_st, b_st, maskf, t_tree, k) kept for
+    # roofline accounting of the eigensolve phase when the caller sets
+    # GENEO_KEEP_PENCILS=1 — reusing the solve-resident arrays avoids the
+    # full-scale pencil rebuild that OOMs at 10M DOF (bench.py roofline)
+    pencils: tuple | None = None
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -368,6 +373,51 @@ def prune_dependent_columns(e: np.ndarray, dtype) -> np.ndarray | None:
     if rank >= dim_e:
         return None
     return np.sort(piv[:rank] - 1).astype(np.int64)
+
+
+_REPLICATION_WALL = None
+
+
+def coarse_replication_wall() -> int:
+    """dim_e above which the replicated coarse solve leaves its measured
+    comfort zone (host O(dim_e^3) factorization / device factor memory).
+    Pinned by tst/measure_coarse.py in tst/golden/coarse_scaling.json;
+    falls back to 16384 when the measurement file is absent.  The
+    reference solves the same problem with distributed MUMPS
+    (src/geneo.cpp:1028-1095); the TPU mitigations above the wall are
+    the E1/E2 efficient-hybrid family (coarse apply per OUTER restart,
+    not per iteration) and larger/fewer subdomains."""
+    global _REPLICATION_WALL
+    if _REPLICATION_WALL is None:
+        import json
+        import os
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "tst", "golden", "coarse_scaling.json")
+        try:
+            with open(path) as f:
+                _REPLICATION_WALL = int(
+                    json.load(f)["replication_wall_dim_e"])
+        except Exception:  # noqa: BLE001 — measurement file optional
+            _REPLICATION_WALL = 16384
+    return _REPLICATION_WALL
+
+
+def warn_coarse_replication(dim_e: int) -> None:
+    """WRNG (stderr — stdout is the golden-diffed protocol) when a run's
+    coarse space exceeds the measured replication wall."""
+    wall = coarse_replication_wall()
+    if dim_e > wall:
+        import sys
+        print(f"WRNG: dim_e = {dim_e} exceeds the measured replicated-"
+              f"coarse-solve wall ({wall}): the O(dim_e^3) host "
+              "factorization and the dense device factor dominate "
+              "(tst/golden/coarse_scaling.json). Prefer E1/E2 "
+              "(efficient hybrid), raise tau/cut selectivity, or use "
+              "fewer/larger subdomains; the reference's answer at this "
+              "scale is a distributed MUMPS factorization "
+              "(src/geneo.cpp:1028-1095).", file=sys.stderr)
 
 
 def factor_e(e: np.ndarray, dtype,
@@ -951,6 +1001,7 @@ def _setup_geneo_impl(batch: SubdomainBatch, opts: GenEOOptions,
         colids = jnp.asarray(colids_np)
         _vlog(f"pruned {stats.e_pruned} dependent coarse columns "
               f"(dim_e={dim_e})")
+    warn_coarse_replication(dim_e)
     ev_np, ew_np, stats.e_null = factor_e(e, dtype, e_dtype=np.float64)
     # round-trip through host numpy so the factors land on the default
     # (accelerator) device uncommitted

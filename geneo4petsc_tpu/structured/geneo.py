@@ -219,6 +219,8 @@ def finalize_coarse(e: np.ndarray, z: jax.Array, counts: np.ndarray,
     colids_np = np.full((n_dom, k_max), dim_e, np.int32)
     for p in range(n_dom):
         colids_np[p, :counts[p]] = offs[p] + np.arange(counts[p])
+    from ..precond.geneo import warn_coarse_replication
+    warn_coarse_replication(dim_e)
     ev_np, ew_np, stats.e_null = factor_e(e, dtype, e_dtype=e_dtype)
     return (z, jnp.asarray(colids_np), jnp.asarray(ev_np, dtype),
             jnp.asarray(1.0 / ew_np, dtype), dim_e, k_max, counts)
@@ -797,6 +799,7 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
             x_prev = v
             k_cand = min(k_cand * 2, min(128, n_loc))
         res_np = np.asarray(res, np.float64)
+        _k_used[label] = k_cand
         # selection window is a PREFIX of the ascending candidates, so Z
         # builds ON DEVICE by column masking (no eigenvector pull)
         base = (w_np <= thr[:, None]).sum(axis=1).astype(np.int64)
@@ -812,6 +815,7 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
         return w_np, v, base, kept_res
 
     # assemble the pencil list + shift-invert preconditioners
+    _k_used = {}
     cut_p = opts.cut
     if opts.lvl2_num == 2 and cut_p >= 2:
         cut_p = cut_p // 2                    # halved (geneo.cpp:1275)
@@ -858,6 +862,12 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
             timers.add("l2_eig", _dt)
             timers.add(f"l2_{label}_eig", _dt)
         runs.append((label, w_np, v, base, kres))
+    if _os.environ.get("GENEO_KEEP_PENCILS") == "1" and "tau" in _k_used:
+        # keep the LIVE tau-pencil operators for the bench roofline's
+        # lobpcg_step entry — strictly less memory than the rebuild path
+        # (no second full-scale field gather), freed with the stats object
+        stats.pencils = (pencils[0][1], pencils[0][2], maskf,
+                         pencils[0][5], int(_k_used["tau"]))
     _t = _time.perf_counter()
 
     w1_np, v1, base1 = runs[0][1], runs[0][2], runs[0][3]

@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..parallel.multiproc import global_put
 from .geneo import StructuredGenEO
 
 
@@ -86,7 +87,7 @@ def shard_structured(pc: StructuredGenEO, mesh: Mesh, axis: str = "dz"):
     repl = NamedSharding(mesh, P())
 
     def put(x, s):
-        return None if x is None else jax.device_put(x, s)
+        return global_put(x, s)
 
     def put_tree(tree, s):
         """Shard leading-dim-divisible leaves; replicate scalars (e.g.
@@ -100,9 +101,9 @@ def shard_structured(pc: StructuredGenEO, mesh: Mesh, axis: str = "dz"):
             nd = getattr(a, "ndim", 0)
             if bt_dim1:
                 ok = nd >= 2 and a.shape[1] % n_dev == 0
-                return jax.device_put(a, dom1 if ok else repl)
+                return global_put(a, dom1 if ok else repl)
             ok = nd >= 1 and a.shape[0] % n_dev == 0
-            return jax.device_put(a, s if ok else repl)
+            return global_put(a, s if ok else repl)
         return jax.tree_util.tree_map(one, tree)
 
     pc_sh = dataclasses.replace(
@@ -124,7 +125,7 @@ def shard_structured(pc: StructuredGenEO, mesh: Mesh, axis: str = "dz"):
     def ap(pc_a, x):
         return pc_a.apply(x)
 
-    shard_vec = lambda v: jax.device_put(jnp.asarray(v), dom)
+    shard_vec = lambda v: global_put(jnp.asarray(v), dom)
     return (lambda x: mv(pc_sh, x)), (lambda x: ap(pc_sh, x)), pc_sh, shard_vec
 
 
@@ -144,10 +145,10 @@ def shard_refine64(op64, mesh: Mesh, axis: str = "dz"):
     def one(a):
         nd = getattr(a, "ndim", 0)
         ok = nd >= 1 and a.shape[0] % n_dev == 0
-        return jax.device_put(a, dom if ok else repl)
+        return global_put(a, dom if ok else repl)
 
     op_sh = jax.tree_util.tree_map(one, op64)
-    return op_sh, lambda v: jax.device_put(jnp.asarray(v), dom)
+    return op_sh, lambda v: global_put(jnp.asarray(v), dom)
 
 
 def shard_elastic(pc, mesh: Mesh, axis: str = "dz"):
@@ -177,7 +178,7 @@ def shard_elastic(pc, mesh: Mesh, axis: str = "dz"):
     repl = NamedSharding(mesh, P())
 
     def put(x, s):
-        return None if x is None else jax.device_put(x, s)
+        return global_put(x, s)
 
     def put_dom_tree(tree):
         """Shard exactly the [n_dom, ...]-batched leaves; everything else
@@ -186,7 +187,7 @@ def shard_elastic(pc, mesh: Mesh, axis: str = "dz"):
         def one(a):
             nd = getattr(a, "ndim", 0)
             ok = nd >= 1 and a.shape[0] == n_dom
-            return jax.device_put(a, dom if ok else repl)
+            return global_put(a, dom if ok else repl)
         return jax.tree_util.tree_map(one, tree)
 
     pc_sh = dataclasses.replace(
@@ -208,5 +209,5 @@ def shard_elastic(pc, mesh: Mesh, axis: str = "dz"):
     def ap(pc_a, x):
         return pc_a.apply(x)
 
-    shard_vec = lambda v: jax.device_put(jnp.asarray(v), dom)
+    shard_vec = lambda v: global_put(jnp.asarray(v), dom)
     return (lambda x: mv(pc_sh, x)), (lambda x: ap(pc_sh, x)), pc_sh, shard_vec

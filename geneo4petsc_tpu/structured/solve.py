@@ -168,9 +168,13 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
     geneo = geneo or GenEOOptions()
     ksp = ksp or KSPOptions()
     timers = timers or Timers()
+    # multi-process runs (jax.distributed, the mpirun -n analogue) must
+    # keep x/r/b device-resident: host pulls of cross-process sharded
+    # arrays are not addressable (parallel/multiproc.py)
+    multiproc = jax.process_count() > 1
     if device_refine is None:
-        device_refine = (jax.default_backend() != "cpu"
-                         and bool(jax.config.jax_enable_x64))
+        device_refine = bool(jax.config.jax_enable_x64) and (
+            jax.default_backend() != "cpu" or multiproc)
     mesh = None
     if n_devices is not None:
         from .sharded import make_mesh
@@ -187,22 +191,31 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
         gop64 = global_stencil(grid, jnp.float64)
         n = grid.n_nodes
         x_true = jnp.arange(1.0, n + 1, dtype=jnp.float64)
-        if mesh is not None:
-            from .sharded import shard_refine64
-            gop64, shard_vec64 = shard_refine64(gop64, mesh)
-            x_true = shard_vec64(x_true)
         # operator as a traced argument (closure constants overflow the
         # remote compile service at scale)
         from ..krylov.refine import op_matvec
+        b_setup = None
+        if mesh is not None:
+            from .sharded import shard_refine64
+            if multiproc:
+                # setup runs replicated on process-local arrays; hand it
+                # a LOCAL rhs (mixing committed local arrays with global
+                # shardings inside one jit is rejected by jax)
+                b_setup = op_matvec(gop64, x_true)
+            gop64, shard_vec64 = shard_refine64(gop64, mesh)
+            x_true = shard_vec64(x_true)
         b = op_matvec(gop64, x_true)
+        if b_setup is None:
+            b_setup = b
         jax.block_until_ready(b)
     else:
         _x_true, b = grid.manufactured_rhs()
+        b_setup = b
     timers.add("createA", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     pc, stats = _setup_with_checkpoint(
-        lambda: setup_structured(sd, geneo, b=jnp.asarray(b, dtype),
+        lambda: setup_structured(sd, geneo, b=jnp.asarray(b_setup, dtype),
                                  dtype=dtype, timers=timers),
         grid, dom_grid, overlap, geneo, dtype, timers)
     shard_vec = None
