@@ -76,17 +76,53 @@ def _structured_inner_jit(eff: bool, ksp_type: str, flexible: bool,
     return inner
 
 
-def make_structured_inner(pc: StructuredGenEO, inner_max_it: int = 2000,
+@functools.lru_cache(maxsize=None)
+def _structured_inner_blk_jit(eff: bool, ksp_type: str, flexible: bool,
+                              inner_max_it: int):
+    """Block-layout inner solver (structured/blockmode.py): permute the
+    residual into domain-brick order ONCE, run the whole Krylov loop on
+    block-major vectors (halo extension only — no per-iteration global
+    transposes), permute the correction back.  Everything inside one
+    jit, so the permutations fuse with the entry/exit casts."""
+    import dataclasses as _dc
+
+    solver = cg_solve if ksp_type == "cg" else gmres_solve
+    extra = {"stall_its": 50, "flexible": flexible} \
+        if ksp_type == "cg" else {}
+
+    @jax.jit
+    def inner(pc_b, r32, rtol):
+        r32 = r32.astype(pc_b.pc.x0.dtype)
+        rb = pc_b.to_block(r32)
+        x0 = pc_b.apply_q(rb).astype(rb.dtype) if eff else None
+        res = solver(pc_b.matvec, rb, pc_b.apply, x0=x0,
+                     rtol=rtol, max_it=inner_max_it, **extra)
+        return _dc.replace(res, x=pc_b.from_block(res.x))
+
+    return inner
+
+
+def make_structured_inner(pc, inner_max_it: int = 2000,
                           ksp_type: str = "cg"):
     """Inner f32 Krylov correction solver with the preconditioner as a
     traced jit ARGUMENT (never close a jit over operator pytrees —
-    constant folding blows compile time; see krylov/refine)."""
+    constant folding blows compile time; see krylov/refine).
+
+    ``pc``: StructuredGenEO (global-layout iteration) or BlockGenEO
+    (block-layout iteration, structured/blockmode.py)."""
+    from .blockmode import BlockGenEO
+
     # inner correction solves stop on stagnation: the f32 residual floor
     # is problem-scaled, and the f64 outer loop owns true convergence.
     # Inexact level-1 solves (PCG local solver) make the preconditioner
     # slightly variable -> flexible CG (Polak-Ribiere beta)
-    inner = _structured_inner_jit(bool(pc.eff_hybrid), ksp_type,
-                                  not pc.l1_exact, int(inner_max_it))
+    if isinstance(pc, BlockGenEO):
+        inner = _structured_inner_blk_jit(
+            bool(pc.eff_hybrid), ksp_type, not pc.l1_exact,
+            int(inner_max_it))
+    else:
+        inner = _structured_inner_jit(bool(pc.eff_hybrid), ksp_type,
+                                      not pc.l1_exact, int(inner_max_it))
     return lambda r32, rtol: inner(pc, r32, rtol)
 
 
@@ -152,7 +188,8 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
                      tol: float = 1e-8, dtype=jnp.float32,
                      timers: Timers | None = None,
                      device_refine: bool | None = None,
-                     n_devices: int | None = None
+                     n_devices: int | None = None,
+                     block_layout: bool | None = None
                      ) -> StructuredSolveOutput:
     """device_refine (default: auto — accelerator backend with x64 on):
     keep x/b/r on the accelerator in emulated f64 and compute the truth
@@ -164,7 +201,12 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
     sharded, the subdomain batch chunk-sharded, the coarse factorization
     replicated — XLA inserts the halo CollectivePermutes and dot-product
     AllReduces (structured/sharded.py).  Requires nz % n_devices == 0
-    and n_dom % n_devices == 0.  None (default): single-device layout."""
+    and n_dom % n_devices == 0.  None (default): single-device layout.
+
+    block_layout (default: env GENEO_BLOCK_LAYOUT=1; single-device
+    only): run the inner Krylov loop on block-major vectors so the
+    per-iteration PC apply pays only the halo extension, never the
+    global<->brick transpose (structured/blockmode.py)."""
     geneo = geneo or GenEOOptions()
     ksp = ksp or KSPOptions()
     timers = timers or Timers()
@@ -223,13 +265,21 @@ def solve_structured(grid: StructuredGrid, dom_grid, overlap: int,
         from .sharded import shard_structured
         _mv, _ap, pc, shard_vec = shard_structured(pc, mesh)
     jax.block_until_ready(jax.tree_util.tree_leaves(pc.l1))
+    import os as _os
+    if block_layout is None:
+        block_layout = _os.environ.get("GENEO_BLOCK_LAYOUT") == "1"
+    pc_iter = pc
+    if block_layout and mesh is None:
+        from .blockmode import build_block_mode
+        pc_iter = build_block_mode(pc, sd, dtype)
+        jax.block_until_ready(pc_iter.st_ext.diag)
     timers.add("setup", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     # cap the inner correction solves: a stalled-at-the-f32-floor inner
     # must not burn 10k iterations — outer f64 passes pick up the slack
     inner = make_structured_inner(
-        pc, inner_max_it=int(min(ksp.max_it, 2000)),
+        pc_iter, inner_max_it=int(min(ksp.max_it, 2000)),
         ksp_type=ksp.type if ksp.type in ("cg", "gmres") else "cg")
     if shard_vec is not None:
         # residuals handed over by the refinement loop must carry the

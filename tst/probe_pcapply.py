@@ -152,6 +152,34 @@ def main():
         (y,) = t(ub)
         return y
 
+    # production block-mode pieces (structured/blockmode.py)
+    from geneo4petsc_tpu.structured.blockmode import (
+        BlockGenEO, build_block_mode, extend_blocks, fold_blocks)
+    from geneo4petsc_tpu.structured.geneo import StructuredGenEO
+
+    def apply_blk_fold(f, v):
+        """extend -> fdm -> EXPLICIT fold (the production block apply)."""
+        u = f.solve(halo.to_batch(extend_blocks(v, pad)))
+        return fold_blocks(halo.from_batch(u, dg), pad)
+
+    pc_min = StructuredGenEO(
+        grid_shape=gs, dom_grid=dg, pad=pad, local_shape=sd.local_shape,
+        lvl1="ASM", lvl2=0, hybrid=False, eff_hybrid=False, dim_e=0,
+        k_max=0, gop=gop, l1=fac, pou=None,
+        maskf=jnp.ones((domg ** 3,) + tuple(sd.local_shape[::-1]),
+                       jnp.float32),
+        z=None, colids=None, e_evecs=None, e_eig_inv=None,
+        x0=jnp.zeros(n, jnp.float32))
+    blk = build_block_mode(pc_min, sd, dtype=jnp.float32)
+    xflat_blk = blk.to_block(x)
+    jax.block_until_ready(xflat_blk)
+
+    def matvec_block(b_, v):
+        return b_.matvec(v)
+
+    def apply_block_full(b_, v):
+        return b_.apply(v)
+
     def apply_global(f, v):
         b = halo.to_batch(halo.halo_gather(v.reshape(-1), gs, dg, pad))
         u = f.solve(b)
@@ -175,6 +203,12 @@ def main():
         ("local_solve (global io)", apply_global, fac, x,
          2 * (n * 4 / 1e9 + gb_loc) + 14 * gb_loc),
         ("local_solve (block io)", apply_blk, fac, xblk,
+         2 * gb_blk + 14 * gb_loc),
+        ("local_solve (explicit fold)", apply_blk_fold, fac, xblk,
+         2 * gb_blk + 14 * gb_loc),
+        ("matvec (block st_ext)", matvec_block, blk, xflat_blk,
+         6 * n * 4 / 1e9),
+        ("pc.apply (block mode)", apply_block_full, blk, xflat_blk,
          2 * gb_blk + 14 * gb_loc),
     ]
     for name, step, op, v, gb in rows:
