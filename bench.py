@@ -230,6 +230,11 @@ def bench_structured(size, dom_g, overlap, emit=None, budget_guard=True):
     # keep the live tau-pencil arrays for the roofline's lobpcg_step
     # entry (measured on the REAL solve operators, VERDICT r04 #4)
     os.environ.setdefault("GENEO_KEEP_PENCILS", "1")
+    # block-layout inner iteration (structured/blockmode.py): the
+    # r05 probe measured the global<->brick transposes as the
+    # per-iteration wall; BENCH_BLOCK=0 reverts to the global layout
+    os.environ.setdefault("GENEO_BLOCK_LAYOUT",
+                          os.environ.get("BENCH_BLOCK", "1"))
 
     _log(f"solving: n={grid.n_nodes}, {dom_g}^3 domains, overlap {overlap}, "
          f"GenEO-{opts.lvl1},{opts.lvl2}")
@@ -344,10 +349,27 @@ def _structured_roofline(rec, out, grid, dom_g, overlap, budget_s=None):
             except Exception as exc:  # noqa: BLE001
                 _log(f"roofline pencils skipped: {exc!r}")
             budget_s -= time.perf_counter() - t_pb
+        # measure the apply path the solve actually ran: the block-mode
+        # wrapper shares every factor with out.pc (one extra small
+        # stencil field set)
+        blk = None
+        if os.environ.get("GENEO_BLOCK_LAYOUT") == "1":
+            try:
+                import jax.numpy as _jnp
+
+                from geneo4petsc_tpu.structured.blockmode import \
+                    build_block_mode
+                from geneo4petsc_tpu.structured.decompose import \
+                    StructuredDecomposition
+                sd_rl = StructuredDecomposition(grid, (dom_g,) * 3,
+                                                overlap)
+                blk = build_block_mode(out.pc, sd_rl, dtype=_jnp.float32)
+            except Exception as exc:  # noqa: BLE001 — advisory
+                _log(f"roofline block wrapper skipped: {exc!r}")
         rec["roofline"] = rl.measure_structured(
             out.pc, pencils=pencils,
             solve_s=rec["solve_s"], inner_its=rec["inner_its"],
-            budget_s=max(budget_s, 5))
+            budget_s=max(budget_s, 5), blk=blk)
         _log("roofline: " + json.dumps(rec["roofline"]))
     except Exception as exc:  # noqa: BLE001 — roofline is advisory
         rec["roofline_error"] = repr(exc)

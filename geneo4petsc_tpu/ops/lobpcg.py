@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from . import batched_linalg as bl
+from .jacobi import tiny_eigh
 
 
 def _hi(dt):
@@ -65,7 +66,12 @@ def _whiten(s, bs):
                       precision="highest")
     gram = 0.5 * (gram + jnp.swapaxes(gram, -1, -2))
     hi = _hi(s.dtype)
-    e, v = jnp.linalg.eigh(gram.astype(hi))
+    # tiny_eigh: fixed-sweep batched Jacobi on accelerators — XLA's
+    # iterative eigh costs ~0.1 s per [d, m, m] call on TPU and the
+    # LOBPCG loop pays two such calls per iteration (ops/jacobi.py);
+    # near-diagonal grams rotate by o(offdiag), preserving the
+    # rotation-free behavior the symmetric root relies on
+    e, v = tiny_eigh(gram.astype(hi))
     tol = m * jnp.finfo(s.dtype).eps * jnp.max(jnp.abs(e), axis=-1,
                                                keepdims=True)
     alive = e > tol
@@ -130,7 +136,7 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
         h = h.astype(hi)
         big = 8.0 * jnp.max(jnp.abs(h), axis=(-2, -1), keepdims=True) + 1.0
         h = h + big * (jnp.eye(m, dtype=hi) - proj)
-        theta, c = jnp.linalg.eigh(h)
+        theta, c = tiny_eigh(h)
         return s, theta.astype(dtype), c.astype(dtype)
 
     def step(x, p):
@@ -192,7 +198,7 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
     h = jnp.einsum("dnm,dnk->dmk", x, ax, preferred_element_type=dtype,
                    precision="highest")
     h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
-    theta, c = jnp.linalg.eigh(h.astype(hi))
+    theta, c = tiny_eigh(h.astype(hi))
     theta = theta.astype(dtype)
     c = c.astype(dtype)
     v = jnp.einsum("dnm,dmk->dnk", x, c, preferred_element_type=dtype,
@@ -261,7 +267,7 @@ def batched_lobpcg(a: jax.Array, b: jax.Array, k: int,
         h = h.astype(hi)
         big = 8.0 * jnp.max(jnp.abs(h), axis=(-2, -1), keepdims=True) + 1.0
         h = h + big * (jnp.eye(m, dtype=hi) - proj)
-        theta, c = jnp.linalg.eigh(h)
+        theta, c = tiny_eigh(h)
         return s, theta.astype(dtype), c.astype(dtype)
 
     def body(carry, _):
@@ -297,7 +303,7 @@ def batched_lobpcg(a: jax.Array, b: jax.Array, k: int,
     h = jnp.einsum("dnm,dnk->dmk", x, ax, preferred_element_type=dtype,
                    precision="highest")
     h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
-    theta, c = jnp.linalg.eigh(h.astype(hi))
+    theta, c = tiny_eigh(h.astype(hi))
     theta = theta.astype(dtype)
     c = c.astype(dtype)
     v = jnp.einsum("dnm,dmk->dnk", x, c, preferred_element_type=dtype,

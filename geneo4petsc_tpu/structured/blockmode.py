@@ -72,13 +72,12 @@ def extend_blocks(b: jax.Array, pad) -> jax.Array:
 
 
 def fold_blocks(xe: jax.Array, pad) -> jax.Array:
-    """Linear TRANSPOSE of extend_blocks, written with explicit slices:
-    each brick's halo layers add back into the neighbor they were read
-    from.  (jax.linear_transpose derives a correct but slow form —
-    measured 3.3 ms of the 5.3 ms block apply at 10M DOF; this version
-    moves the same pad layers the extension does.)  Requires
-    inner >= 2*pad per divided axis (true for every supported
-    decomposition: overlap <= inner/2)."""
+    """Linear TRANSPOSE of extend_blocks, written with in-place slice
+    adds: each brick's halo layers add back into the neighbor they were
+    read from.  (jax.linear_transpose derives a correct but slower form;
+    middle-axis concats relayout worse still — both measured on the 10M
+    shapes, tst/probe_pcapply.py.)  Requires inner >= 2*pad per divided
+    axis (true for every supported decomposition: overlap <= inner/2)."""
     # reverse the extension's axis order (x, y, z) -> fold z, y, x
     for gaxis, laxis, p in ((0, 3, pad[2]), (1, 4, pad[1]),
                             (2, 5, pad[0])):
@@ -95,15 +94,15 @@ def fold_blocks(xe: jax.Array, pad) -> jax.Array:
         # by construction and drop off the shifted slices)
         lo_c = jax.lax.slice_in_dim(lo_h, 1, g, axis=gaxis)
         hi_c = jax.lax.slice_in_dim(hi_h, 0, g - 1, axis=gaxis)
-        zshape = list(lo_c.shape)
-        zshape[gaxis] = 1
-        z = jnp.zeros(zshape, xe.dtype)
-        head = jax.lax.slice_in_dim(core, 0, p, axis=laxis) \
-            + jnp.concatenate([z, hi_c], axis=gaxis)
-        tail = jax.lax.slice_in_dim(core, nl - p, nl, axis=laxis) \
-            + jnp.concatenate([lo_c, z], axis=gaxis)
-        mid = jax.lax.slice_in_dim(core, p, nl - p, axis=laxis)
-        xe = jnp.concatenate([head, mid, tail], axis=laxis)
+        idx_head = [slice(None)] * xe.ndim
+        idx_head[laxis] = slice(0, p)
+        idx_head[gaxis] = slice(1, g)
+        idx_tail = [slice(None)] * xe.ndim
+        idx_tail[laxis] = slice(nl - p, nl)
+        idx_tail[gaxis] = slice(0, g - 1)
+        core = core.at[tuple(idx_head)].add(hi_c)
+        core = core.at[tuple(idx_tail)].add(lo_c)
+        xe = core
     return xe
 
 
@@ -175,18 +174,32 @@ class BlockGenEO:
         return self.pc.l1_exact
 
     # ---------- operators (flat block-major signatures) ----------
-    def _pad1(self):
-        return tuple(1 if g > 1 else 0
-                     for g in self.pc.dom_grid)
-
     def matvec(self, xf: jax.Array) -> jax.Array:
+        """Global SpMV in brick order: extend ONE layer (zero halos on
+        non-divided axes), then the 7-point operator as pure shifted
+        core windows of the extended array — elementwise FMA streams
+        only, no in-place adds, no concats (the LocalStencil ``.at``
+        form measured 8.9 ms vs 2.5 ms for the global stencil at 10M;
+        this form is the same fused-window pattern the global stencil
+        compiles to)."""
         xb = self._unflat(xf)
-        xe = halo.to_batch(extend_blocks(xb, self._pad1()))
-        ye = self.st_ext.matvec(xe)
-        p = self._pad1()
-        core = ye[:, p[2]:ye.shape[1] - p[2], p[1]:ye.shape[2] - p[1],
-                  p[0]:ye.shape[3] - p[0]]
-        return self._flat(halo.from_batch(core, self.pc.dom_grid))
+        xe = halo.to_batch(extend_blocks(xb, (1, 1, 1)))
+        st = self.st_ext
+
+        def win(arr, ax=None, off=0):
+            idx = [slice(None)] * 4
+            for a4 in (1, 2, 3):
+                o = off if a4 == ax else 0
+                idx[a4] = slice(1 + o, arr.shape[a4] - 1 + o)
+            return arr[tuple(idx)]
+
+        y = win(st.diag) * win(xe)
+        for a in range(3):              # stencil axis (x, y, z)
+            ax = 3 - a                  # array axis in [d, z, y, x]
+            c = st.offs[a]
+            y = y + win(c) * win(xe, ax, +1)          # A[v, v+e_a]
+            y = y + win(c, ax, -1) * win(xe, ax, -1)  # A[v, v-e_a]
+        return self._flat(halo.from_batch(y, self.pc.dom_grid))
 
     def _extend(self, xb):
         return halo.to_batch(extend_blocks(xb, self.pc.pad))
@@ -251,10 +264,11 @@ def build_block_mode(pc: StructuredGenEO,
             raise ValueError(
                 "block layout requires inner >= 2*overlap per divided "
                 f"axis (axis {a}: inner {sd.inner[a]}, pad {sd.pad[a]})")
-    pad1 = tuple(1 if g > 1 else 0 for g in sd.dom_grid)
-    # gather_fields with an explicit 1-layer pad window; the Dirichlet
-    # stencil uses only the assembled fields + mask, so the original
-    # decomposition serves (its multiplicity fields are ignored here)
-    f1 = lo.gather_fields(sd, dtype=dtype, pad=pad1)
+    # gather_fields with a 1-layer pad window on EVERY axis (the matvec
+    # extends all axes uniformly; non-divided axes get zero halos and
+    # zero couplings there).  The Dirichlet stencil uses only the
+    # assembled fields + mask, so the original decomposition serves
+    # (its multiplicity fields are ignored here).
+    f1 = lo.gather_fields(sd, dtype=dtype, pad=(1, 1, 1))
     st_ext = lo.dirichlet_stencil(f1)
     return BlockGenEO(pc=pc, st_ext=st_ext)

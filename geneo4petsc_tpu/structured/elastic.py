@@ -263,11 +263,19 @@ class ElasticOp:
         def go(v):
             # z-slab the cell sum when the gather/matmul temporaries
             # would not fit HBM (the 152^3 f64 emulated apply allocates
-            # ~16 GB unchunked); each node row is touched by <= 2 slabs
+            # ~16 GB unchunked); each node row is touched by <= 2 slabs.
+            # The estimate must use the PADDED cost of the 8 per-corner
+            # slice temps: XLA lays [3m, cz, cy, cx] slices out with the
+            # tiny 3m axis on the 128-lane dimension (observed 42.7x
+            # expansion -> 8 live 1.65 GB temps -> compile-time HBM OOM
+            # of the 10.5M inner CG when a fresh dim_e shape missed the
+            # executable cache)
             m = v.shape[-1]
             cz = nz - 1
-            est = cz * (ny - 1) * (nx - 1) * 24 * m \
-                * jnp.dtype(v.dtype).itemsize * 10
+            cm = 3 * m
+            pad_f = max(128 // cm, 1) if cm < 128 else 1
+            est = cz * (ny - 1) * (nx - 1) * cm \
+                * jnp.dtype(v.dtype).itemsize * max(10, 8 * pad_f)
             n_chunks = int(np.clip(-(-est // int(4e9)), 1, max(cz, 1)))
             if n_chunks <= 1:
                 y = _cell_apply(self.k0, self.e_cell, v)

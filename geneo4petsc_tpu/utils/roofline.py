@@ -119,11 +119,16 @@ def _entry(secs: float, gbytes: float, gflops: float, model: str,
 def measure_structured(pc, reps: int = 10, pencils=None,
                        solve_s: float | None = None,
                        inner_its: int | None = None,
-                       budget_s: float | None = None) -> dict:
+                       budget_s: float | None = None,
+                       blk=None) -> dict:
     """Roofline dict for a StructuredGenEO preconditioner (live on
     device).  ``pencils``: optional (a_st, b_st, maskf, t_tree, k) to
     measure a real LOBPCG step; ``solve_s``/``inner_its``: measured
     solve-phase wall + iteration count for the aggregate entry.
+    ``blk``: optional BlockGenEO — when given, the per-iteration apply
+    entry measures the block-layout path the solve actually runs
+    (structured/blockmode.py) and the analytic bytes drop the global
+    gather/scatter terms.
 
     ``budget_s``: hard wall for the MEASUREMENT phase — each kernel's
     timing (chain compiles through the tunneled compile service can cost
@@ -185,19 +190,30 @@ def measure_structured(pc, reps: int = 10, pencils=None,
         skipped.append("fdm_apply")
 
     # --- full preconditioner apply (per-iteration cost) ---
-    # gather (n + d*n_l) + L1 passes + scatter (d*n_l + n) [+ coarse Z
-    # einsums: 2 reads of z [d*n_l*k] when a level-2 term runs per-apply]
-    pa_bytes = (2 * n + 2 * d * n_l + (6 * 2 + 2) * d * n_l) * isz
+    # global layout: gather (n + d*n_l) + L1 passes + scatter (d*n_l +
+    # n); block layout: extension/fold move only pad layers, so the
+    # vector terms shrink to 2n [+ coarse Z einsums: 2 reads of z
+    # [d*n_l*k] when a level-2 term runs per-apply]
+    if blk is not None:
+        pa_bytes = (2 * n + (6 * 2 + 2) * d * n_l) * isz
+        pa_model = ("block-layout apply: halo extend + L1 solve + fold "
+                    "(structured/blockmode.py; no global transposes)")
+    else:
+        pa_bytes = (2 * n + 2 * d * n_l + (6 * 2 + 2) * d * n_l) * isz
+        pa_model = ("halo gather + L1 solve + scatter-add (+ 2 z-basis "
+                    "streams when level-2 applies per-iteration)")
     if pc.lvl2 and not pc.eff_hybrid and pc.z is not None:
         pa_bytes += 2 * d * n_l * pc.k_max * isz
     if over_budget():
         skipped.append("pc_apply")
     else:
-        t = _time_step(lambda p, v: p.apply(v), pc, x, reps=reps)
-        out["pc_apply"] = _entry(
-            t, pa_bytes / 1e9, 0.0,
-            "halo gather + L1 solve + scatter-add (+ 2 z-basis streams "
-            "when level-2 applies per-iteration)", peaks)
+        if blk is not None:
+            xb = blk.to_block(x)
+            jax.block_until_ready(xb)
+            t = _time_step(lambda p, v: p.apply(v), blk, xb, reps=reps)
+        else:
+            t = _time_step(lambda p, v: p.apply(v), pc, x, reps=reps)
+        out["pc_apply"] = _entry(t, pa_bytes / 1e9, 0.0, pa_model, peaks)
 
     # --- one LOBPCG step on the real GenEO pencils ---
     if pencils is not None:

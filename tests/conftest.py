@@ -19,6 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# NEVER read the persistent compile cache in tests: .jax_cache carries
+# XLA:CPU AOT executables compiled on earlier rounds' hosts with
+# different CPU features — loading one SIGSEGVs the process (observed:
+# full-suite segfault at 88% when a test reached code that sets
+# jax_compilation_cache_dir process-wide; the loader itself warns
+# "could lead to execution errors such as SIGILL").  CPU compiles are
+# fast; tests don't need the cache.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
 
