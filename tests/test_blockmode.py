@@ -96,3 +96,25 @@ def test_solve_iteration_parity(lvl1, lvl2, workload):
     assert out.refined.inner_its <= ref.refined.inner_its * 2 + 30
     np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
                                rtol=0, atol=1e-5 * grid.n_nodes)
+
+
+def test_fold_lt_matches_explicit():
+    """fold_blocks_lt (production, linear_transpose-derived — measured
+    faster on v5e at the 10M shape, tst/probe_fold.py) is bit-identical
+    to the explicit slice-add fold."""
+    from geneo4petsc_tpu.structured.blockmode import (extend_blocks,
+                                                      fold_blocks,
+                                                      fold_blocks_lt)
+
+    rng = np.random.default_rng(1)
+    pad = (2, 2, 1)
+    core = jnp.asarray(rng.standard_normal((3, 2, 4, 6, 7, 5)))
+    xe = extend_blocks(core, pad)
+    # fold is the adjoint: <extend(u), w> == <u, fold(w)>
+    w = jnp.asarray(rng.standard_normal(xe.shape))
+    a = fold_blocks(w, pad)
+    b = fold_blocks_lt(w, pad)
+    assert jnp.array_equal(a, b)
+    lhs = float(jnp.vdot(xe, w))
+    rhs = float(jnp.vdot(core, a))
+    assert abs(lhs - rhs) <= 1e-10 * abs(lhs)

@@ -207,9 +207,16 @@ def run_anchor(size, dom=4, overlap=2, cut=2, verbose=True, tau=None,
         dv = 1.0 / mult[nd]
         b_dad = sp.diags(dv) @ a_dir @ sp.diags(dv)
         t0 = time.perf_counter()
+        # deterministic ARPACK start vector: v0=None draws from numpy's
+        # GLOBAL RNG, so the anchor's kept eigenvectors (and hence its
+        # CG count, by +-1 near the stopping boundary) would depend on
+        # whatever ran before in the process (observed as test-order
+        # flakiness in tests/test_cross_impl.py)
+        v0 = np.random.default_rng(1234 + nd).standard_normal(
+            a_neu.shape[0])
         _w, v = spla.eigsh(a_neu.tocsc(), k=cut, M=b_dad.tocsc(),
                            sigma=-1e-6 * float(dloc.mean()), which="LM",
-                           tol=eig_tol, maxiter=2000)
+                           tol=eig_tol, maxiter=2000, v0=v0)
         setup_eig_s += time.perf_counter() - t0
         if tau is not None:
             order = np.argsort(_w)

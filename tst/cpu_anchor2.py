@@ -233,9 +233,13 @@ def run_pc_anchor(grid, dom=2, overlap=2, lvl1="ASM", lvl2="E1",
         ncv = min(nl, max(4 * k_req, 40))   # ARPACK breathing room: the
         # default 2k+1 subspace stalls on the heat pencil's clustered
         # low end (observed: 6/8 pairs at 5000 its)
+        # deterministic ARPACK start: v0=None uses numpy's GLOBAL RNG
+        # and makes the anchor's count test-order-dependent (+-1 near
+        # the stopping boundary on the ill-conditioned heat pencil)
+        v0 = np.random.default_rng(1234 + d).standard_normal(nl)
         w, v = spla.eigsh(a_neu.tocsc(), k=k_req, M=b_tau, sigma=sig,
                           which="LM", tol=eig_tol, maxiter=20000,
-                          ncv=ncv)
+                          ncv=ncv, v0=v0)
         order = np.argsort(w)
         w, v = w[order], v[:, order]
         base1 = _count(int((w <= thr1).sum()), k_req, "tau window")
@@ -247,7 +251,7 @@ def run_pc_anchor(grid, dom=2, overlap=2, lvl1="ASM", lvl2="E1",
             # gamma pencil (D A_Dir D, A_Rob), keep lambda >= gammaLoc
             wg, vg = spla.eigsh(b_dad, k=k_req, M=a_rob,
                                 which="LA", tol=eig_tol, maxiter=20000,
-                                ncv=ncv)
+                                ncv=ncv, v0=v0)
             order = np.argsort(wg)[::-1]            # descending
             wg, vg = wg[order], vg[:, order]
             base2 = _count(int((wg >= gamma_loc[d]).sum()), k_req,
