@@ -39,14 +39,66 @@ def op_matvec(op, x):
 
 
 @jax.jit
-def _residual64(op, b, x):
-    r = b - op.matvec(x)
-    return r, jnp.linalg.norm(r)
+def _norm64_safe(r):
+    """Overflow-safe 2-norm for TPU-emulated f64: the double-double
+    emulation inherits float32's EXPONENT range, so sum-of-squares
+    overflows (-> NaN, measured on v5e) once entries pass ~1.3e19 —
+    which the bench's 1e8-BC-penalty operators reach in the residual of
+    any poor initial guess.  Scale by the nearest power of two >= max|r|
+    (exact in binary fp: the scaled norm is bit-equivalent where the
+    naive one does not overflow), returning (norm, scale)."""
+    m = jnp.max(jnp.abs(r))
+    s = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30))))
+    s = jnp.where(m > 0, s, 1.0)
+    return jnp.linalg.norm(r * (1.0 / s)) * s, s
 
 
 @jax.jit
-def _update64(x, dx):
-    return x + dx.astype(x.dtype)
+def _residual64(op, b, x):
+    r = b - op.matvec(x)
+    rn, s = _norm64_safe(r)
+    return r, rn, s
+
+
+@jax.jit
+def _rescale_x0(b, r, x0):
+    """Salvage a PATHOLOGICAL initial guess (first residual >= ||b|| or
+    non-finite) by the optimal line scaling alpha = argmin ||b - a A
+    x0|| = <b, A x0> / ||A x0||^2, with overflow-safe scaled dots and
+    A x0 recovered as b - r (no extra matvec).  A deflation guess from a
+    junk-contaminated coarse space can be orders of magnitude too LARGE
+    (measured |Q b| ~ 2e11 vs the 1e7-scale solution at the 10M bench);
+    alpha = 0 is in the feasible set, so the rescaled start is never
+    worse than x = 0 — and if r itself is non-finite every guard below
+    collapses alpha to exactly 0 (the plain x = 0 restart).  Healthy
+    guesses (rel < 1) are left untouched so their trajectories stay
+    bit-stable.  PETSc's nonzero-initial-guess contract has no such
+    hazard because its Q is MUMPS-exact."""
+    ax = b - r
+    _, sa = _norm64_safe(ax)
+    _, sb = _norm64_safe(b)
+    axs = ax * (1.0 / sa)
+    num = jnp.vdot(axs, b * (1.0 / sb))
+    den = jnp.vdot(axs, axs)
+    alpha = jnp.where(den > 0, num / den * (sb / sa), 0.0)
+    alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+    r2 = b - alpha * ax
+    rn, s = _norm64_safe(r2)
+    return alpha * x0, r2, rn, s
+
+
+@jax.jit
+def _update64(x, dx, s):
+    return x + dx.astype(x.dtype) * s
+
+
+@jax.jit
+def _scale32(r, s):
+    """(r / s) cast to f32 — the power-of-two scaling is exact, so the
+    inner Krylov trajectory is bit-identical to the unscaled one
+    wherever the unscaled one stayed finite (CG is scale-equivariant),
+    while huge residuals stay inside f32 range."""
+    return (r * (1.0 / s)).astype(jnp.float32)
 
 
 @dataclass
@@ -143,7 +195,8 @@ def refined_solve_device(op64, b64, inner_solver: Callable,
     if not _jax.config.jax_enable_x64:
         raise RuntimeError("refined_solve_device requires jax_enable_x64")
     b64 = jnp.asarray(b64, jnp.float64)
-    bnorm = float(jnp.linalg.norm(b64))
+    bnorm_j, bscale = _norm64_safe(b64)
+    bnorm = float(bnorm_j)
     _residual, _update = _residual64, _update64
 
     x = jnp.zeros_like(b64) if x0 is None else jnp.asarray(x0, jnp.float64)
@@ -155,10 +208,25 @@ def refined_solve_device(op64, b64, inner_solver: Callable,
         if outer == 0 and x0 is None:
             # x = 0 -> r = b exactly: skip one emulated-f64 truth matvec
             # (they are the dominant per-outer cost at scale)
-            r, rel = b64, 1.0
+            r, rel, rs = b64, 1.0, bscale
         else:
-            r, rn = _residual(op64, b64, x)
+            r, rn, rs = _residual(op64, b64, x)
             rel = float(rn) / bnorm
+        if outer == 0 and x0 is not None and (
+                not np.isfinite(rel) or rel >= 1.0):
+            # pathological deflation guess: rescale to the line optimum
+            # (alpha = 0 recovers the plain x = 0 restart; healthy
+            # guesses never enter here, keeping their runs bit-stable)
+            x, r, rn, rs = _rescale_x0(b64, r, x)
+            rel = float(rn) / bnorm
+            if not np.isfinite(rel) or rel > 0.99:
+                # a rescaled guess that buys < 1% is junk dressed up:
+                # its residual carries poorly-preconditioned coarse-junk
+                # components that cost MORE inner iterations than the
+                # clean r = b start saves (measured at the 10M bench:
+                # 180 inner its from the alpha start vs 133 from zero)
+                x = jnp.zeros_like(b64)
+                r, rel, rs = b64, 1.0, bscale
         history.append(rel)
         if np.isfinite(rel) and rel < best_rel:
             best_x, best_rel = x, rel
@@ -172,12 +240,12 @@ def refined_solve_device(op64, b64, inner_solver: Callable,
             break
         need = 0.3 * tol / rel
         rtol_k = float(np.clip(need, inner_rtol, 0.499))
-        res = inner_solver(r.astype(jnp.float32), jnp.float32(rtol_k))
+        res = inner_solver(_scale32(r, rs), jnp.float32(rtol_k))
         inner_total += int(res.its)
-        x = _update(x, res.x)
+        x = _update(x, res.x, rs)
     else:
         outer = max_outer
-        _r, rn = _residual(op64, b64, x)
+        _r, rn, _rs = _residual(op64, b64, x)
         rel = float(rn) / bnorm
         history.append(rel)
         if np.isfinite(rel) and rel < best_rel:
@@ -243,11 +311,20 @@ def refined_solve(matvec32: Callable, pc_apply32: Callable | None,
         # limit — avoids re-converging to the floor on every outer pass
         need = 0.3 * tol / rel
         rtol_k = float(np.clip(need, inner_rtol, 0.499))
-        res = inner_j(jnp.asarray(r, jnp.float32), jnp.float32(rtol_k))
+        # power-of-two pre-scaling, mirroring refined_solve_device's
+        # _scale32 BIT-FOR-BIT: the two refinement drivers must hand the
+        # inner f32 solver the same numbers or their iteration counts
+        # drift apart (tests/test_multiprocess.py pins host-vs-device
+        # parity); it also keeps 1e16-scale residuals inside f32 range
+        rmax = float(np.max(np.abs(r)))
+        rs = float(2.0 ** np.ceil(np.log2(max(rmax, 1e-30)))) \
+            if rmax > 0 else 1.0
+        res = inner_j(jnp.asarray(r * (1.0 / rs), jnp.float32),
+                      jnp.float32(rtol_k))
         its_k = int(res.its)
         _t2 = _time.perf_counter()
         inner_total += its_k
-        x = x + np.asarray(res.x, np.float64)
+        x = x + np.asarray(res.x, np.float64) * rs
         if _dbg:
             print(f"[refine {outer}] res64 {_t1 - _t0:.2f}s  inner "
                   f"{_t2 - _t1:.2f}s ({its_k} its)  pull+add "

@@ -64,21 +64,7 @@ def _whiten(s, bs):
     gram = jnp.einsum("dnm,dnk->dmk", s, bs,
                       preferred_element_type=s.dtype,
                       precision="highest")
-    gram = 0.5 * (gram + jnp.swapaxes(gram, -1, -2))
-    hi = _hi(s.dtype)
-    # tiny_eigh: fixed-sweep batched Jacobi on accelerators — XLA's
-    # iterative eigh costs ~0.1 s per [d, m, m] call on TPU and the
-    # LOBPCG loop pays two such calls per iteration (ops/jacobi.py);
-    # near-diagonal grams rotate by o(offdiag), preserving the
-    # rotation-free behavior the symmetric root relies on
-    e, v = tiny_eigh(gram.astype(hi))
-    tol = m * jnp.finfo(s.dtype).eps * jnp.max(jnp.abs(e), axis=-1,
-                                               keepdims=True)
-    alive = e > tol
-    inv_sqrt = jnp.where(alive, 1.0 / jnp.sqrt(jnp.where(alive, e, 1.0)), 0.0)
-    w = jnp.einsum("dmi,dki->dmk", v * inv_sqrt[..., None, :], v)
-    proj = jnp.einsum("dmi,dki->dmk", v * alive[..., None, :], v)
-    w = w.astype(s.dtype)
+    w, proj = _whiten_w(gram, m, s.dtype)
     return (jnp.einsum("dnm,dmk->dnk", s, w,
                        preferred_element_type=s.dtype,
                        precision="highest"),
@@ -88,8 +74,53 @@ def _whiten(s, bs):
             proj)
 
 
+def _whiten_w(gram, m, dtype):
+    """Whitening factor from the gram alone: (W, proj) with W the
+    symmetric pseudo inverse square root (see _whiten)."""
+    gram = 0.5 * (gram + jnp.swapaxes(gram, -1, -2))
+    hi = _hi(dtype)
+    # tiny_eigh: fixed-sweep batched Jacobi on accelerators — XLA's
+    # iterative eigh costs ~0.1 s per [d, m, m] call on TPU and the
+    # LOBPCG loop pays two such calls per iteration (ops/jacobi.py);
+    # near-diagonal grams rotate by o(offdiag), preserving the
+    # rotation-free behavior the symmetric root relies on
+    e, v = tiny_eigh(gram.astype(hi))
+    tol = m * jnp.finfo(dtype).eps * jnp.max(jnp.abs(e), axis=-1,
+                                             keepdims=True)
+    alive = e > tol
+    inv_sqrt = jnp.where(alive, 1.0 / jnp.sqrt(jnp.where(alive, e, 1.0)),
+                         0.0)
+    w = jnp.einsum("dmi,dki->dmk", v * inv_sqrt[..., None, :], v)
+    proj = jnp.einsum("dmi,dki->dmk", v * alive[..., None, :], v)
+    return w.astype(dtype), proj
+
+
+def _whiten_lead(s, bs):
+    """_whiten in the LEAD layout: s, bs [d, m, n] -> (S W, BS W, proj).
+
+    The lead layout keeps the LARGE n axis minor: on TPU the minor axis
+    maps to the 128 vector lanes, so [d, n, m] tensors with m = block
+    size (2-12) run every elementwise/matmul pass at m/128 lane
+    utilization — measured as the dominant LOBPCG-step cost at the 10M
+    bench (tst/probe_eigstep.py).  Grams contract over n (the minor
+    axis, MXU-friendly) and column updates produce n-minor outputs."""
+    m = s.shape[1]
+    gram = jnp.einsum("dmn,dkn->dmk", s, bs,
+                      preferred_element_type=s.dtype,
+                      precision="highest")
+    w, proj = _whiten_w(gram, m, s.dtype)
+    return (jnp.einsum("dmk,dmn->dkn", w, s,
+                       preferred_element_type=s.dtype,
+                       precision="highest"),
+            jnp.einsum("dmk,dmn->dkn", w, bs,
+                       preferred_element_type=s.dtype,
+                       precision="highest"),
+            proj)
+
+
 def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
-                   tol: float = 0.0):
+                   tol: float = 0.0, k_monitor: int | None = None,
+                   ops_layout: str = "nm"):
     """Matrix-free batched LOBPCG: smallest eigenpairs of the pencil
     (A, B) given only batched block matvec callables.
 
@@ -111,16 +142,41 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
     "good enough" vectors, geneo.cpp:658); with the exact FDM shifted
     inverse as preconditioner convergence is typically far faster than
     the max_it cap, so the exit saves most of the eigensolve wall.
+
+    k_monitor (default: all k columns): the tol exit and reported
+    per-step residual watch only the FIRST k_monitor columns.  Callers
+    that add GUARD columns (extra Ritz pairs solved purely to open the
+    spectral gap of the kept window — the ARPACK ncv > 2k discipline)
+    pass the kept-prefix size here so slow guard convergence cannot
+    hold the loop at max_it.
+
+    Internally every block lives in the LEAD layout [d, m, n] (see
+    _whiten_lead: the minor axis must stay the LARGE one for TPU lane
+    utilization).  ops_layout says which convention the CALLER's
+    operators use: "mn" operators take/return [d, m, n] directly (the
+    structured path's native fast form); "nm" operators take/return
+    [d, n, m] and are wrapped with transposes (one relayout pass each
+    way — still far cheaper than running every block pass lane-starved).
+    The x0 / returned-v contract stays [d, n, k] for all callers.
     """
     k = x0.shape[-1]
+    k_mon = k if k_monitor is None else min(int(k_monitor), k)
     dtype = x0.dtype
+
+    if ops_layout == "nm":
+        a_nm, b_nm, t_nm = a_op, b_op, t_op
+
+        def _wrap(op):
+            return lambda v: jnp.swapaxes(op(jnp.swapaxes(v, 1, 2)), 1, 2)
+
+        a_op, b_op, t_op = _wrap(a_nm), _wrap(b_nm), _wrap(t_nm)
 
     hi = _hi(dtype)
 
     def rayleigh_ritz(s, bs):
-        s, bs, proj = _whiten(s, bs)
+        s, bs, proj = _whiten_lead(s, bs)
         as_ = a_op(s)
-        h = jnp.einsum("dnm,dnk->dmk", s, as_, preferred_element_type=dtype,
+        h = jnp.einsum("dmn,dkn->dmk", s, as_, preferred_element_type=dtype,
                        precision="highest")
         h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
         # steer the dead (truncated) subspace to the top of the spectrum:
@@ -141,34 +197,39 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
 
     def step(x, p):
         bx = b_op(x)
-        x, bx, _ = _whiten(x, bx)
+        x, bx, _ = _whiten_lead(x, bx)
         ax = a_op(x)
-        lam = jnp.einsum("dnm,dnm->dm", x, ax,
+        lam = jnp.einsum("dmn,dmn->dm", x, ax,
                          preferred_element_type=dtype,
                          precision="highest")
-        r = ax - bx * lam[:, None, :]
+        r = ax - bx * lam[..., None]
         # relative residual of the CURRENT block (free: r is needed
-        # anyway).  The ||Bx|| term keeps the scale meaningful for exact
-        # null pairs (lambda ~ 0, Ax ~ 0): without it res degenerates to
+        # anyway), over the MONITORED prefix only (guard columns are
+        # disposable and may converge arbitrarily slowly).  The ||Bx||
+        # term keeps the scale meaningful for exact null pairs
+        # (lambda ~ 0, Ax ~ 0): without it res degenerates to
         # ||Ax||/||Ax|| = 1 and the tol exit can never fire on pencils
         # with rigid-body kernels (elasticity)
-        scale = jnp.linalg.norm(ax, axis=1) + (jnp.abs(lam) + 1.0) * \
-            jnp.linalg.norm(bx, axis=1) + jnp.finfo(dtype).tiny
-        res = jnp.max(jnp.linalg.norm(r, axis=1) / scale)
+        axm, bxm, rm = ax[:, :k_mon], bx[:, :k_mon], r[:, :k_mon]
+        lamm = lam[:, :k_mon]
+        scale = jnp.linalg.norm(axm, axis=-1) + (jnp.abs(lamm) + 1.0) * \
+            jnp.linalg.norm(bxm, axis=-1) + jnp.finfo(dtype).tiny
+        res = jnp.max(jnp.linalg.norm(rm, axis=-1) / scale)
         w = t_op(r)
-        s = jnp.concatenate([x, w, p], axis=-1)
+        s = jnp.concatenate([x, w, p], axis=1)
         bs = b_op(s)
         s_t, theta, c = rayleigh_ritz(s, bs)
         cx = c[..., :k]
-        x_new = jnp.einsum("dnm,dmk->dnk", s_t, cx,
+        x_new = jnp.einsum("dmk,dmn->dkn", cx, s_t,
                            preferred_element_type=dtype,
                            precision="highest")
         c_wp = cx.at[:, :k, :].set(0.0)
-        p_new = jnp.einsum("dnm,dmk->dnk", s_t, c_wp,
+        p_new = jnp.einsum("dmk,dmn->dkn", c_wp, s_t,
                            preferred_element_type=dtype,
                            precision="highest")
         return x_new, p_new, res
 
+    x0 = jnp.swapaxes(x0, 1, 2)             # public [d, n, k] -> lead
     if tol > 0.0:
         def cond(carry):
             _x, _p, it, res = carry
@@ -193,23 +254,23 @@ def matfree_lobpcg(a_op, b_op, t_op, x0: jax.Array, max_it: int = 40,
                                   length=max_it)
 
     bx = b_op(x)
-    x, bx, _ = _whiten(x, bx)
+    x, bx, _ = _whiten_lead(x, bx)
     ax = a_op(x)
-    h = jnp.einsum("dnm,dnk->dmk", x, ax, preferred_element_type=dtype,
+    h = jnp.einsum("dmn,dkn->dmk", x, ax, preferred_element_type=dtype,
                    precision="highest")
     h = 0.5 * (h + jnp.swapaxes(h, -1, -2))
     theta, c = tiny_eigh(h.astype(hi))
     theta = theta.astype(dtype)
     c = c.astype(dtype)
-    v = jnp.einsum("dnm,dmk->dnk", x, c, preferred_element_type=dtype,
+    v = jnp.einsum("dmk,dmn->dkn", c, x, preferred_element_type=dtype,
                    precision="highest")
     av = a_op(v)
     bv = b_op(v)
-    r = av - bv * theta[:, None, :]
-    rn = jnp.linalg.norm(r, axis=1)
-    scale = jnp.linalg.norm(av, axis=1) + (jnp.abs(theta) + 1.0) * \
-        jnp.linalg.norm(bv, axis=1) + jnp.finfo(dtype).tiny
-    return theta, v, rn / scale
+    r = av - bv * theta[..., None]
+    rn = jnp.linalg.norm(r, axis=-1)
+    scale = jnp.linalg.norm(av, axis=-1) + (jnp.abs(theta) + 1.0) * \
+        jnp.linalg.norm(bv, axis=-1) + jnp.finfo(dtype).tiny
+    return theta, jnp.swapaxes(v, 1, 2), rn / scale
 
 
 @partial(jax.jit, static_argnames=("k", "max_it"))

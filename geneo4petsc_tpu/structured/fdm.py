@@ -266,6 +266,31 @@ class FDMFactor:
                        preferred_element_type=dt, precision="highest")
         return y
 
+    def solve_lead(self, x: jax.Array) -> jax.Array:
+        """``solve`` with a LEADING block axis: x [n_dom, m, lz, ly,
+        lx].  Keeps the minor axis spatial (TPU lane utilization — see
+        LocalStencil.matvec_lead); the per-domain factor matrices
+        broadcast over the block axis inside the einsums."""
+        px, py, pz = self.p
+        lx, ly, lz = self.lam
+        dt = x.dtype
+        y = jnp.einsum("dzw,dmzyx->dmwyx", pz, x,
+                       preferred_element_type=dt, precision="highest")
+        y = jnp.einsum("dyw,dmzyx->dmzwx", py, y,
+                       preferred_element_type=dt, precision="highest")
+        y = jnp.einsum("dxw,dmzyx->dmzyw", px, y,
+                       preferred_element_type=dt, precision="highest")
+        den = (lz[:, :, None, None] + ly[:, None, :, None]
+               + lx[:, None, None, :] + self.shift).astype(dt)
+        y = y / den[:, None]
+        y = jnp.einsum("dzw,dmwyx->dmzyx", pz, y,
+                       preferred_element_type=dt, precision="highest")
+        y = jnp.einsum("dyw,dmzwx->dmzyx", py, y,
+                       preferred_element_type=dt, precision="highest")
+        y = jnp.einsum("dxw,dmzyw->dmzyx", px, y,
+                       preferred_element_type=dt, precision="highest")
+        return y
+
 
 def fdm_factor(ax: AxisOps, shift: float = 0.0,
                dtype=jnp.float32) -> FDMFactor:

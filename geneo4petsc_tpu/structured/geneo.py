@@ -154,25 +154,71 @@ class StructuredGenEO:
 def _flat_ops(a_st, b_st, maskf, t_tree):
     """LOBPCG operator callables over flat [d, n_loc, m] blocks.
 
-    [d, n_loc, m] <-> [d, lz, ly, lx, m] is a FREE reshape (n_loc is the
-    flattened box in the same layout), so the stencil/FDM kernels apply
-    directly.  a_st/b_st are LocalStencil pencils; t_tree is any local
-    solver (.solve) playing the shift-invert preconditioner.  Batch size
-    is taken from the arrays (callers slice the pytrees to chunk the
-    domain batch)."""
+    Internally each apply transposes to the LEAD-block layout [d, m, lz,
+    ly, lx] and back: the [.., n_loc, m] layout puts the tiny block axis
+    on the TPU's 128 vector lanes (2/128 utilization at k=2 — measured
+    10 ms per 10M-bench stencil apply vs ~0.3 ms of traffic,
+    tst/probe_eigstep.py), while the lead form streams with the spatial
+    axis minor.  The two transposes are single relayout passes that XLA
+    fuses into the producer/consumer loops.  a_st/b_st are LocalStencil
+    pencils; t_tree is any local solver playing the shift-invert
+    preconditioner (lead-layout fast path when it provides
+    ``solve_lead``).  Batch size is taken from the arrays (callers slice
+    the pytrees to chunk the domain batch)."""
     n_dom, sz, sy, sx = maskf.shape
+    box_lead = (n_dom, -1, sz, sy, sx)
     box = (n_dom, sz, sy, sx, -1)
     flat = (n_dom, sz * sy * sx, -1)
 
+    def to_lead(v):
+        return jnp.swapaxes(v, 1, 2).reshape(box_lead)
+
+    def from_lead(w):
+        m = w.shape[1]
+        return jnp.swapaxes(w.reshape(n_dom, m, sz * sy * sx), 1, 2)
+
+    la, lb, lt = _lead_ops(a_st, b_st, maskf, t_tree)
+
     def a_op(v):
-        return a_st.matvec(v.reshape(box)).reshape(flat)
+        return from_lead(la(to_lead(v)))
 
     def b_op(v):
-        return b_st.matvec(v.reshape(box)).reshape(flat)
+        return from_lead(lb(to_lead(v)))
 
     def t_op(v):
-        w = t_tree.solve(v.reshape(box)) * maskf[..., None]
-        return w.reshape(flat)
+        return from_lead(lt(to_lead(v)))
+
+    return a_op, b_op, t_op
+
+
+def _lead_ops(a_st, b_st, maskf, t_tree):
+    """LOBPCG operator callables in the LEAD layout: flat [d, m, n_loc]
+    in and out ([d, m, n] <-> [d, m, lz, ly, lx] is a free reshape).
+    This is the fast form — the whole matfree LOBPCG runs lead-layout
+    (ops/lobpcg.py ops_layout="mn"), so no per-apply transposes at all.
+    Solvers without a ``solve_lead`` (surrogate-PCG, BT) fall back to
+    the trailing-block form behind a transpose pair."""
+    n_dom, sz, sy, sx = maskf.shape
+    box_lead = (n_dom, -1, sz, sy, sx)
+    flat_lead = (n_dom, -1, sz * sy * sx)
+
+    def a_op(v):
+        return a_st.matvec_lead(v.reshape(box_lead)).reshape(flat_lead)
+
+    def b_op(v):
+        return b_st.matvec_lead(v.reshape(box_lead)).reshape(flat_lead)
+
+    if hasattr(t_tree, "solve_lead"):
+        def t_op(v):
+            w = t_tree.solve_lead(v.reshape(box_lead)) * maskf[:, None]
+            return w.reshape(flat_lead)
+    else:
+        def t_op(v):
+            vt = jnp.swapaxes(v, 1, 2).reshape(
+                (n_dom, sz, sy, sx, -1))
+            w = t_tree.solve(vt) * maskf[..., None]
+            w = w.reshape(n_dom, sz * sy * sx, -1)
+            return jnp.swapaxes(w, 1, 2)
 
     return a_op, b_op, t_op
 
@@ -352,21 +398,36 @@ def _one_chunk_jit(ptype):
 def _lobpcg_run_jit(n_loc, dtype, max_it, tol):
     dtype = jnp.dtype(dtype)
 
-    @partial(jax.jit, static_argnames=("k",))
-    def run_lobpcg(a_st, b_st, maskf_, t_tree, k, x0_prev=None):
+    @partial(jax.jit, static_argnames=("k", "g"))
+    def run_lobpcg(a_st, b_st, maskf_, t_tree, k, g=0, x0_prev=None):
         # rebind closures on the jitted arguments (operator pytrees must
-        # be traced arguments, never closed-over constants)
-        a_o, b_o, t_o = _flat_ops(a_st, b_st, maskf_, t_tree)
+        # be traced arguments, never closed-over constants).  ``g`` GUARD
+        # columns ride along in the block purely to open the spectral
+        # gap of the kept k-prefix (the ARPACK ncv > 2k discipline,
+        # cpu_anchor2's observed stall without breathing room): kept
+        # pairs near the tau window boundary otherwise converge at the
+        # rate of a near-zero gap (measured: kept res 0.55 after 50 its
+        # at the 10M bench's 58^3 bricks with g=0, 1e-3-converged with
+        # guards).  Guards live ONLY inside this solve — Z/E never see
+        # them, so coarse-space memory is unchanged.
+        a_o, b_o, t_o = _lead_ops(a_st, b_st, maskf_, t_tree)
         d = maskf_.shape[0]
-        x0 = jax.random.normal(jax.random.PRNGKey(0), (d, n_loc, k),
+        ktot = k + g
+        # same random draw as the historical [d, n, k] layout (the
+        # column CONTENT is part of pinned behavior), transposed into
+        # the lead layout matfree_lobpcg uses internally
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (d, n_loc, ktot),
                                dtype)
         x0 = x0 * maskf_.reshape(d, n_loc)[..., None]
-        x0 = t_o(x0)
+        x0 = jnp.swapaxes(t_o(jnp.swapaxes(x0, 1, 2)), 1, 2)
         if x0_prev is not None:
             # warm restart: keep the previously converged block, top up
             # with fresh preconditioned-random columns only
             x0 = x0.at[..., :x0_prev.shape[-1]].set(x0_prev)
-        return matfree_lobpcg(a_o, b_o, t_o, x0, max_it=max_it, tol=tol)
+        w, v, res = matfree_lobpcg(a_o, b_o, t_o, x0, max_it=max_it,
+                                   tol=tol, k_monitor=k,
+                                   ops_layout="mn")
+        return w[:, :k], v[..., :k], res[:, :k]
     return run_lobpcg
 
 
@@ -673,12 +734,17 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
             if getattr(a, "ndim", 0) else a, t1, t2)
 
     def run_all(a_st, b_st, t_tree, k, x0_prev=None):
-        per_dom = n_loc * 16 * k * np.dtype(np.float32).itemsize
+        # guard columns (see _lobpcg_run_jit): enough to clear the
+        # kept window's boundary clusters, capped so the per-step op
+        # applies stay O(k)
+        g = int(_os.environ.get("GENEO_LOBPCG_GUARD",
+                                min(max(2, (k + 1) // 2), 8)))
+        per_dom = n_loc * 16 * (k + g) * np.dtype(np.float32).itemsize
         chunk = int(np.clip(budget // max(per_dom, 1), 1, n_dom))
         # BTSolver factors batch domains on dim 1 (plane-major scan
         # layout) — the leading-dim chunk slicer does not apply
         if chunk >= n_dom or isinstance(t_tree, solvers.BTSolver):
-            return run_lobpcg(a_st, b_st, maskf, t_tree, k, x0_prev)
+            return run_lobpcg(a_st, b_st, maskf, t_tree, k, g, x0_prev)
         trees = (a_st, b_st, maskf, t_tree, x0_prev)
         n_chunks = (n_dom + chunk - 1) // chunk
         parts = []
@@ -689,7 +755,7 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
                 pad_n = chunk - (hi_i - lo_i)
                 args = [_cat(a, _slice(t, 0, pad_n))
                         for a, t in zip(args, trees)]
-            out = run_lobpcg(*args[:4], k, x0_prev=args[4])
+            out = run_lobpcg(*args[:4], k, g, x0_prev=args[4])
             jax.block_until_ready(out[0])
             # eigenVECTORS stay on device (pulls are the tunneled-TPU
             # wall); w/res are tiny

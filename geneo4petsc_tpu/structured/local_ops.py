@@ -50,25 +50,83 @@ class LocalStencil:
     diag: jax.Array
     offs: tuple
 
-    def matvec(self, x: jax.Array) -> jax.Array:
-        """Batched SpMV: x [n_dom, lz, ly, lx] or [..., k]."""
-        extra = x.ndim - self.diag.ndim
-        d = self.diag[(...,) + (None,) * extra] if extra else self.diag
-        y = d * x
+    def _windowed_matvec(self, x, bcast, sp_axes):
+        """Shared shifted-window SpMV body.  ``sp_axes`` are x's (z, y,
+        x) axes; ``bcast`` lifts a [n_dom, lz, ly, lx] field to x's
+        rank.
+
+        Form: ONE zero-extended copy of x, then every stencil term is a
+        lazy WINDOW of that buffer feeding a single fused FMA loop —
+        neither per-term ``jnp.pad`` (measured 10 ms per 10M-bench
+        [64, 58^3, 2] apply: every shifted term materializes a full
+        copy) nor ``.at[].add`` (21 ms: dynamic-update-slice chains).
+        The coefficient shifts are loop-invariant per apply and hoist
+        out of surrounding scan/while loops.  Same per-element
+        accumulation order as the slice-add form (added terms are exact
+        zeros where that form did not touch), so results are
+        bit-identical."""
+        nd = x.ndim
+        pd = [(0, 0)] * nd
+        for ax in sp_axes:
+            if x.shape[ax] > 1:
+                pd[ax] = (1, 1)
+        xe = jnp.pad(x, pd)
+
+        def win(ax=None, off=0):
+            """Core window of xe, optionally offset along one axis."""
+            idx = [slice(None)] * nd
+            for a4 in sp_axes:
+                if pd[a4] == (0, 0):
+                    continue
+                o = off if a4 == ax else 0
+                idx[a4] = slice(1 + o, xe.shape[a4] - 1 + o)
+            return xe[tuple(idx)]
+
+        def shift_field(c, ax, off):
+            """Zero-filled shift of a coefficient field (loop-invariant;
+            hoisted by XLA out of iteration loops)."""
+            sl = [slice(None)] * c.ndim
+            cpd = [(0, 0)] * c.ndim
+            if off > 0:
+                sl[ax] = slice(1, None)
+                cpd[ax] = (0, 1)
+            else:
+                sl[ax] = slice(None, -1)
+                cpd[ax] = (1, 0)
+            return jnp.pad(c[tuple(sl)], cpd)
+
+        y = bcast(self.diag) * x
         for a, c in enumerate(self.offs):
-            ax = 3 - a                      # local array axis for x/y/z
+            ax = sp_axes[2 - a]             # x's axis for x/y/z stencil a
             if x.shape[ax] == 1:
                 continue
-            ce = c[(...,) + (None,) * extra] if extra else c
-            lo = [slice(None)] * x.ndim
-            hi = [slice(None)] * x.ndim
-            lo[ax] = slice(None, -1)
-            hi[ax] = slice(1, None)
-            lo, hi = tuple(lo), tuple(hi)
-            cl = ce[lo]
-            y = y.at[lo].add(cl * x[hi])
-            y = y.at[hi].add(cl * x[lo])
+            ca = 3 - a                      # same axis in the 4-D field
+            # y[v] += c[v] * x[v+e]  and  y[v] += c[v-e] * x[v-e]
+            y = y + bcast(c) * win(ax, +1)
+            y = y + bcast(shift_field(c, ca, -1)) * win(ax, -1)
         return y
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """Batched SpMV: x [n_dom, lz, ly, lx] or [..., k] (trailing
+        block axis).  See ``_windowed_matvec`` for the kernel form."""
+        extra = x.ndim - self.diag.ndim
+        if extra:
+            def bcast(c):
+                return c[(...,) + (None,) * extra]
+        else:
+            def bcast(c):
+                return c
+        return self._windowed_matvec(x, bcast, (1, 2, 3))
+
+    def matvec_lead(self, x: jax.Array) -> jax.Array:
+        """Batched SpMV with a LEADING block axis: x [n_dom, m, lz, ly,
+        lx].  The block axis sits next to the domain axis instead of
+        minor-most — TPU tiles put the MINOR axis on the 128 vector
+        lanes, so a k=2 trailing block runs at 2/128 lane utilization;
+        here the minor axis stays spatial (tst/probe_eigstep.py)."""
+        nd = x.ndim
+        return self._windowed_matvec(x, lambda c: c[:, None],
+                                     (nd - 3, nd - 2, nd - 1))
 
 
 @partial(jax.tree_util.register_dataclass,

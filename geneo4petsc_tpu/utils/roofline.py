@@ -257,7 +257,7 @@ def _lobpcg_step(pencils, n_l: int, d: int, peaks: dict | None,
     from functools import partial
 
     from ..ops.lobpcg import matfree_lobpcg
-    from ..structured.geneo import _flat_ops
+    from ..structured.geneo import _lead_ops
 
     a_st, b_st, maskf, t_tree, k = pencils
     x0 = jax.random.normal(jax.random.PRNGKey(0), (d, n_l, k),
@@ -266,11 +266,12 @@ def _lobpcg_step(pencils, n_l: int, d: int, peaks: dict | None,
 
     # operator pytrees as traced ARGUMENTS (a jit closure would
     # constant-fold the stencil fields — the compile-time trap the
-    # structured setup documents)
+    # structured setup documents); lead-layout ops = the production path
     @partial(jax.jit, static_argnames=("m",))
     def run(a, b, mk, t_tr, v0, m):
-        a_op, b_op, t_op = _flat_ops(a, b, mk, t_tr)
-        return matfree_lobpcg(a_op, b_op, t_op, v0, max_it=m, tol=0.0)
+        a_op, b_op, t_op = _lead_ops(a, b, mk, t_tr)
+        return matfree_lobpcg(a_op, b_op, t_op, v0, max_it=m, tol=0.0,
+                              ops_layout="mn")
 
     lo_it, hi_it = 2, 12
     t_lo = _time_fn(partial(run, m=lo_it), a_st, b_st, maskf, t_tree,
