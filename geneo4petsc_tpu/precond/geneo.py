@@ -457,7 +457,18 @@ def factor_e(e: np.ndarray, dtype,
             pass
     ew_np, ev_np = bl.host_eigh(e)
     ew_np = np.asarray(ew_np)
-    tol = dim_e * np.finfo(e_dtype).eps * np.abs(ew_np).max(initial=0.0)
+    # GENEO_E_FLOOR: optional RELATIVE truncation floor on top of the
+    # assembly-precision one.  E inherits noise from the precision and
+    # residual of the Z columns (f32 LOBPCG vectors at scale), not just
+    # from its own assembly dtype — eigenvalues below that noise are
+    # garbage whose inversion amplifies Q by orders of magnitude (the
+    # reference fights the same failure with MUMPS null-pivot FIXING,
+    # ICNTL(24)/CNTL(5)=1e20, geneo.cpp:80-88 — functionally a coarse
+    # truncation).
+    import os as _os
+    floor_rel = float(_os.environ.get("GENEO_E_FLOOR", "0"))
+    tol = max(dim_e * np.finfo(e_dtype).eps, floor_rel) \
+        * np.abs(ew_np).max(initial=0.0)
     e_null = int((ew_np <= tol).sum())
     ew_np = np.where(ew_np > tol, ew_np, np.inf)  # truncated modes
     return np.asarray(ev_np), ew_np, e_null

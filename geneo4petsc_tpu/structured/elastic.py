@@ -272,11 +272,24 @@ class ElasticOp:
             # executable cache)
             m = v.shape[-1]
             cz = nz - 1
-            cm = 3 * m
-            pad_f = max(128 // cm, 1) if cm < 128 else 1
-            est = cz * (ny - 1) * (nx - 1) * cm \
-                * jnp.dtype(v.dtype).itemsize * max(10, 8 * pad_f)
-            n_chunks = int(np.clip(-(-est // int(4e9)), 1, max(cz, 1)))
+            # r04-validated estimate: [24, m*ncell]-form temporaries
+            # (big-minor layout, no tile padding blowup) x a 10x live
+            # margin.  A r05 pad-aware variant (x 8*128/(3m) for the
+            # per-corner slices) pushed the f32 m=1 inner-CG apply from
+            # 1 chunk to 4 — and the chunked z-slab execution crashed
+            # the TPU worker ("kernel fault") deterministically at the
+            # 10.5M bench, under 2 AND 4 chunks, while this unchunked
+            # f32 form is the configuration r04 demonstrably executed.
+            # GENEO_ELASTIC_NCHUNKS overrides for diagnosis.
+            est = cz * (ny - 1) * (nx - 1) * 24 * m \
+                * jnp.dtype(v.dtype).itemsize * 10
+            import os as _os
+            _force = _os.environ.get("GENEO_ELASTIC_NCHUNKS", "")
+            if _force:
+                n_chunks = int(_force)
+            else:
+                n_chunks = int(np.clip(-(-est // int(4e9)), 1,
+                                       max(cz, 1)))
             if n_chunks <= 1:
                 y = _cell_apply(self.k0, self.e_cell, v)
             else:

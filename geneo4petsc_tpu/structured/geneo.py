@@ -734,11 +734,15 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
             if getattr(a, "ndim", 0) else a, t1, t2)
 
     def run_all(a_st, b_st, t_tree, k, x0_prev=None):
-        # guard columns (see _lobpcg_run_jit): enough to clear the
-        # kept window's boundary clusters, capped so the per-step op
-        # applies stay O(k)
-        g = int(_os.environ.get("GENEO_LOBPCG_GUARD",
-                                min(max(2, (k + 1) // 2), 8)))
+        # guard columns (see _lobpcg_run_jit): extra Ritz pairs that
+        # open the kept window's boundary-cluster gap.  Default OFF:
+        # with unconverged-pair PRUNING as the quality mechanism the
+        # guards' accuracy gain no longer buys iterations, while their
+        # wider block doubles the eigensolve wall (measured at the 10M
+        # bench: g=2 setup 12.1 s / 101 inner its vs g=0 setup 6.9 s /
+        # 140 its — total 14.7 vs 9.8 s); set GENEO_LOBPCG_GUARD to
+        # re-enable for pencils with pathological boundary clusters
+        g = int(_os.environ.get("GENEO_LOBPCG_GUARD", 0))
         per_dom = n_loc * 16 * (k + g) * np.dtype(np.float32).itemsize
         chunk = int(np.clip(budget // max(per_dom, 1), 1, n_dom))
         # BTSolver factors batch domains on dim 1 (plane-major scan
@@ -871,6 +875,21 @@ def setup_structured(sd: StructuredDecomposition, opts: GenEOOptions,
         base = (w_np <= thr[:, None]).sum(axis=1).astype(np.int64)
         if cut_p > 0:
             base = np.minimum(base, cut_p)
+        # keep only CONVERGED pairs — the reference uses exactly the
+        # EPSGetConverged prefix and post-filters candidates
+        # (geneo.cpp:713-714): an unconverged "eigenvector" is a junk
+        # direction that E^-1 then amplifies (measured at the 10M bench:
+        # one res~0.4 column pushed |Q b| to ~1e11 vs the 1e7-scale
+        # solution, killing the E1 deflation start).  The window is a
+        # prefix, so truncate at the first unconverged column.
+        prune = float(_os.environ.get(
+            "GENEO_EIG_PRUNE", 30.0 * float(opts.els2.rtol)))
+        if prune > 0:
+            for p in range(n_dom):
+                j = 0
+                while j < base[p] and res_np[p, j] <= prune:
+                    j += 1
+                base[p] = j
         kept_res = np.zeros(n_dom)
         for p in range(n_dom):
             if base[p] > 0:
